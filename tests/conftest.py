@@ -1,0 +1,33 @@
+"""Test configuration: run on CPU with 8 virtual devices and float64 enabled.
+
+Mirrors the reference's test strategy (SURVEY.md §4): tests are runnable without
+special hardware; multi-device sharding is exercised on a virtual CPU mesh.
+"""
+
+import os
+
+# Must be set before jax import. The deployment environment may export
+# JAX_PLATFORMS=axon (real TPU via tunnel); tests always run on host CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("PACE_TPU_PRECISION", "64")
+
+import jax
+
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# JAX_PLATFORMS; override it back after import so tests stay on host CPU.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    import numpy as np
+
+    return np.random.RandomState(42)
