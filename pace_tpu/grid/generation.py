@@ -92,6 +92,8 @@ class MetricTerms:
     lat_agrid: np.ndarray
     xyz_corner: np.ndarray  # (S, Y+1, X+1, 3) unit vectors
     xyz_center: np.ndarray  # (S, Y, X, 3)
+    xyz_u: np.ndarray  # (S, Y+1, X, 3) y-interface (D-grid u) points
+    xyz_v: np.ndarray  # (S, Y, X+1, 3) x-interface (D-grid v / C-grid u) points
 
     # lengths [m]
     dx: np.ndarray  # (S, Y+1, X)  cell south/north edge lengths (u-point rows)
@@ -396,6 +398,8 @@ def _generate_cubed_sphere(cls, spec: GridSpec, eta_file, radius) -> "MetricTerm
         lat_agrid=lat_a,
         xyz_corner=P_corner,
         xyz_center=P_center,
+        xyz_u=P_u,
+        xyz_v=P_v,
         dx=dx,
         dy=dy,
         dxa=dxa,
@@ -492,6 +496,8 @@ def _generate_doubly_periodic(cls, spec: GridSpec, eta_file) -> "MetricTerms":
         lat_agrid=lat_a,
         xyz_corner=xyz_c,
         xyz_center=xyz_a,
+        xyz_u=np.zeros((S, Ys + 1, Xs, 3)),
+        xyz_v=np.zeros((S, Ys, Xs + 1, 3)),
         dx=full((Ys + 1, Xs), dxc0),
         dy=full((Ys, Xs + 1), dyc0),
         dxa=full((Ys, Xs), dxc0),

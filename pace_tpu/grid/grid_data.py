@@ -1,0 +1,183 @@
+"""GridData: device-resident metric terms consumed by the solver ops.
+
+TPU-native analog of NDSL's ``GridData`` views over MetricTerms (reference
+driver/pace/driver/grid.py:123-141 — Horizontal/Vertical/Contravariant/Angle
+GridData + DampingCoefficients). Here it is one flat frozen pytree of jnp
+arrays, stacked per shard ``(S, ..., Y, X)``, passed as a constant argument
+into jitted step functions (XLA keeps them on-device; under a mesh the S axis
+is sharded like the state).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .generation import MetricTerms, SG_CENTER, SG_W, SG_E, SG_S, SG_N
+
+_TINY = 1e-8
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GridData:
+    """Device metric terms. Shapes: Y/X are halo-inclusive cell counts; +1 on
+    an axis indicates interface staggering along it."""
+
+    # lengths [m] and reciprocals
+    dx: jnp.ndarray  # (S, Y+1, X) cell edge lengths along x at y-interfaces
+    dy: jnp.ndarray  # (S, Y, X+1)
+    dxa: jnp.ndarray  # (S, Y, X)
+    dya: jnp.ndarray
+    dxc: jnp.ndarray  # (S, Y, X+1)
+    dyc: jnp.ndarray  # (S, Y+1, X)
+    rdx: jnp.ndarray
+    rdy: jnp.ndarray
+    rdxa: jnp.ndarray
+    rdya: jnp.ndarray
+    rdxc: jnp.ndarray
+    rdyc: jnp.ndarray
+
+    # areas
+    area: jnp.ndarray  # (S, Y, X)
+    rarea: jnp.ndarray
+    area_c: jnp.ndarray  # (S, Y+1, X+1)
+    rarea_c: jnp.ndarray
+
+    # angles (grid-line crossing angles at each staggering)
+    cosa: jnp.ndarray  # (S, Y+1, X+1) corners
+    sina: jnp.ndarray
+    cosa_u: jnp.ndarray  # (S, Y, X+1) x-interface (u/C-grid-u points)
+    sina_u: jnp.ndarray
+    rsin_u2: jnp.ndarray  # 1 / sina_u^2
+    cosa_v: jnp.ndarray  # (S, Y+1, X) y-interface
+    sina_v: jnp.ndarray
+    rsin_v2: jnp.ndarray
+    cosa_s: jnp.ndarray  # (S, Y, X) centers
+    rsin2: jnp.ndarray  # 1 / sin^2 at centers
+    rsina2: jnp.ndarray  # 1 / sina^2 at corners
+
+    # supergrid sin values used for face-flux projection
+    sin_sg_w: jnp.ndarray  # (S, Y, X) sin of angle at west face of each cell
+    sin_sg_e: jnp.ndarray
+    sin_sg_s: jnp.ndarray
+    sin_sg_n: jnp.ndarray
+    cos_sg_w: jnp.ndarray
+    cos_sg_e: jnp.ndarray
+    cos_sg_s: jnp.ndarray
+    cos_sg_n: jnp.ndarray
+
+    # Coriolis parameter
+    f0: jnp.ndarray  # (S, Y, X) centers
+    fC: jnp.ndarray  # (S, Y+1, X+1) corners
+
+    # vertical coordinate
+    ak: jnp.ndarray  # (npz+1,)
+    bk: jnp.ndarray
+
+    # edge masks (1.0 on shards' rows/cols adjacent to a cube edge, else 0.0)
+    # *_iface masks mark the tile-boundary interface lines themselves.
+    edge_w_iface: jnp.ndarray  # (S, 1, X+1) 1 where x-interface ii is a tile W edge
+    edge_e_iface: jnp.ndarray
+    edge_s_iface: jnp.ndarray  # (S, Y+1, 1)
+    edge_n_iface: jnp.ndarray
+
+    # static metadata
+    ptop: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    n_halo: int = dataclasses.field(metadata=dict(static=True), default=3)
+    npz: int = dataclasses.field(metadata=dict(static=True), default=79)
+
+    @classmethod
+    def from_metric_terms(cls, mt: MetricTerms, dtype=None) -> "GridData":
+        from .. import dtypes
+
+        if dtype is None:
+            dtype = dtypes.Float
+        spec = mt.spec
+        halo = mt.halo
+        h = spec.n_halo
+        S = halo.n_shards
+        Ys, Xs = halo.nsy + 2 * h, halo.nsx + 2 * h
+
+        def j(a):
+            return jnp.asarray(a, dtype=dtype)
+
+        sin_sg = mt.sin_sg
+        cos_sg = mt.cos_sg
+
+        # --- tile-edge interface masks (host-side numpy, baked as constants)
+        edge_w = np.zeros((S, 1, Xs + 1))
+        edge_e = np.zeros((S, 1, Xs + 1))
+        edge_s = np.zeros((S, Ys + 1, 1))
+        edge_n = np.zeros((S, Ys + 1, 1))
+        n = spec.n_tile
+        if spec.grid_type != 4:  # the doubly-periodic plane has no edges
+            for s in range(S):
+                _t, py, px = halo._shard_info(s)
+                # global x-interface coordinate of array index ii is
+                # px * nsx + (ii - h); tile W edge at 0, E edge at n.
+                gx0 = px * halo.nsx - h
+                for ii in range(Xs + 1):
+                    if gx0 + ii == 0:
+                        edge_w[s, 0, ii] = 1.0
+                    if gx0 + ii == n:
+                        edge_e[s, 0, ii] = 1.0
+                gy0 = py * halo.nsy - h
+                for jj in range(Ys + 1):
+                    if gy0 + jj == 0:
+                        edge_s[s, jj, 0] = 1.0
+                    if gy0 + jj == n:
+                        edge_n[s, jj, 0] = 1.0
+
+        return cls(
+            dx=j(mt.dx),
+            dy=j(mt.dy),
+            dxa=j(mt.dxa),
+            dya=j(mt.dya),
+            dxc=j(mt.dxc),
+            dyc=j(mt.dyc),
+            rdx=j(mt.rdx),
+            rdy=j(mt.rdy),
+            rdxa=j(mt.rdxa),
+            rdya=j(mt.rdya),
+            rdxc=j(mt.rdxc),
+            rdyc=j(mt.rdyc),
+            area=j(mt.area),
+            rarea=j(mt.rarea),
+            area_c=j(mt.area_c),
+            rarea_c=j(mt.rarea_c),
+            cosa=j(mt.cosa),
+            sina=j(mt.sina),
+            cosa_u=j(mt.cosa_v),  # note: MetricTerms cosa_v is at x-interfaces
+            sina_u=j(mt.sina_v),
+            rsin_u2=j(1.0 / np.maximum(mt.sina_v**2, _TINY)),
+            cosa_v=j(mt.cosa_u),  # MetricTerms cosa_u is at y-interfaces
+            sina_v=j(mt.sina_u),
+            rsin_v2=j(1.0 / np.maximum(mt.sina_u**2, _TINY)),
+            cosa_s=j(mt.cosa_s),
+            rsin2=j(mt.rsin2),
+            rsina2=j(1.0 / np.maximum(mt.sina**2, _TINY)),
+            sin_sg_w=j(sin_sg[:, SG_W]),
+            sin_sg_e=j(sin_sg[:, SG_E]),
+            sin_sg_s=j(sin_sg[:, SG_S]),
+            sin_sg_n=j(sin_sg[:, SG_N]),
+            cos_sg_w=j(cos_sg[:, SG_W]),
+            cos_sg_e=j(cos_sg[:, SG_E]),
+            cos_sg_s=j(cos_sg[:, SG_S]),
+            cos_sg_n=j(cos_sg[:, SG_N]),
+            f0=j(mt.f0),
+            fC=j(mt.fC),
+            ak=j(mt.ak),
+            bk=j(mt.bk),
+            edge_w_iface=j(edge_w),
+            edge_e_iface=j(edge_e),
+            edge_s_iface=j(edge_s),
+            edge_n_iface=j(edge_n),
+            ptop=float(mt.ak[0]),
+            n_halo=h,
+            npz=spec.npz,
+        )

@@ -1,0 +1,100 @@
+"""Sub-cycled multi-tracer 2-D transport (flux-form, mass-consistent).
+
+TPU-native analog of ``pyFV3.stencils.tracer_2d_1l.TracerAdvection``
+(reference role per SURVEY.md §2.3: multi-tracer sub-cycled 2D transport with
+flux/courant halo updates; savepoint stage name ``Tracer2D1L``; on-disk usage
+reference driver/examples/notebooks/functions.py:33).
+
+All tracers are carried in ONE stacked array ``(S, nq, K, Y, X)`` so the PPM
+operators and halo gathers run once over the whole tracer block — on TPU this
+keeps tensors large and avoids per-tracer dispatch (the reference loops
+fvtp2d over tracers one at a time).
+
+The sub-cycle count is static (config ``n_split_tracer``); the reference
+derives it from the max courant number at runtime, which would force a
+recompile-per-step under XLA. Callers pick a safe static value for their
+timestep (1 or 2 at typical acoustic-loop settings).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .fvtp2d import fvtp2d
+from .stencil_utils import bcast_k, x_iface_diff, y_iface_diff
+
+
+def advect_tracers(
+    q,
+    dp1,
+    crx,
+    cry,
+    xfx,
+    yfx,
+    mfx,
+    mfy,
+    halo,
+    grid,
+    hord: int = 8,
+    n_split: int = 1,
+):
+    """Advance tracers through the accumulated dynamics mass fluxes.
+
+    Parameters
+    ----------
+    q:
+        tracers ``(S, nq, K, Y, X)`` (mixing ratios w.r.t. dry air mass dp1).
+    dp1:
+        pressure thickness ``(S, K, Y, X)`` BEFORE the mass-flux update.
+    crx, cry:
+        time-integrated courant numbers at x/y interfaces.
+    xfx, yfx:
+        time-integrated area fluxes [m^2].
+    mfx, mfy:
+        time-integrated mass fluxes [Pa m^2] through the faces.
+    halo:
+        HaloExchanger (for the per-subcycle tracer ghost refills).
+    grid:
+        GridData.
+    hord:
+        PPM variant for tracers (reference namelist hord_tr; monotone 8 default).
+    n_split:
+        static sub-cycle count.
+
+    Returns
+    -------
+    (q_new, dp2): updated tracers and the final pressure thickness.
+    """
+    frac = 1.0 / float(n_split)
+    crx = crx * frac
+    cry = cry * frac
+    xfx = xfx * frac
+    yfx = yfx * frac
+    mfx = mfx * frac
+    mfy = mfy * frac
+    rarea = grid.rarea
+
+    for _ in range(n_split):
+        dp2 = dp1 + (x_iface_diff(mfx) + y_iface_diff(mfy)) * bcast_k(rarea, dp1)
+        qx = halo.update_scalar(q, stagger="center", fold="x")
+        qy = halo.update_scalar(q, stagger="center", fold="y")
+        fl = fvtp2d(
+            qx,
+            qy,
+            crx[:, None],
+            cry[:, None],
+            xfx[:, None],
+            yfx[:, None],
+            grid.area,
+            hord,
+            mfx=mfx[:, None],
+            mfy=mfy[:, None],
+        )
+        # make cross-tile-edge fluxes single-valued (exact conservation)
+        fx, fy = halo.sync_vector_interfaces(fl.fx, fl.fy, kind="cgrid")
+        q = (
+            q * dp1[:, None]
+            + (x_iface_diff(fx) + y_iface_diff(fy)) * bcast_k(rarea, q)
+        ) / dp2[:, None]
+        dp1 = dp2
+    return q, dp1

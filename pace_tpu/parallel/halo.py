@@ -158,6 +158,7 @@ class HaloExchanger:
         self.n_shards = topology.n_tiles * ly * lx
         self._scalar_tables: Dict = {}
         self._vector_tables: Dict = {}
+        self._sync_tables: Dict = {}
 
     # ------------------------------------------------------------------
     # shapes
@@ -313,6 +314,77 @@ class HaloExchanger:
             )
         return out
 
+    def _build_interface_sync(self, kind: str):
+        """Tables forcing tile-boundary interface points to a single owner value.
+
+        Staggered vector components sampled exactly ON a tile boundary are
+        computed independently by both adjacent tiles; without a sync their
+        values (hence fluxes) disagree at roundoff-to-truncation level and
+        break exact conservation. Convention: the edge's owner is the smaller
+        ``(tile, edge)`` pair; the non-owner's copy is overwritten by the
+        owner's value, rotated/sign-flipped into the local component basis.
+        This is the analog of the reference communicator's interface-variable
+        sync on shared edges (reference docs/util/communication.rst,
+        ``synchronize_vector_interfaces``).
+        """
+        from .topology import EDGE_W, EDGE_E, EDGE_S, EDGE_N
+
+        loc_u, dir_u, loc_v, dir_v = _VECTOR_KINDS[kind]
+        n = self.n_tile
+        tables = {("u", "u"): [], ("u", "v"): [], ("v", "u"): [], ("v", "v"): []}
+        for comp, (loc, direction) in (
+            ("u", (loc_u, dir_u)),
+            ("v", (loc_v, dir_v)),
+        ):
+            d = np.asarray(direction)
+            oy, ox = _STAGGER_OFFSETS[loc]
+            for s, t, jj, ii, gy, gx, owned in self._enumerate_points(loc):
+                # points exactly on a tile boundary along this loc's interface
+                # axis (x-interfaces lie on W/E edges, y-interfaces on S/N)
+                if ox == 0.0 and oy != 0.0:
+                    on_edge = {EDGE_W: gx == 0.0, EDGE_E: gx == float(n)}
+                elif oy == 0.0 and ox != 0.0:
+                    on_edge = {EDGE_S: gy == 0.0, EDGE_N: gy == float(n)}
+                else:
+                    continue  # center/corner staggers handled elsewhere
+                for e, me in on_edge.items():
+                    m = me & owned
+                    if not m.any():
+                        continue
+                    rel = self.topology.adjacency[(t, e)]
+                    if (t, e) <= (rel.neighbor_tile, rel.neighbor_edge):
+                        continue  # this side owns the edge; keep own values
+                    A, b = self.topology.edge_affine(t, e, n)
+                    gy2 = A[0, 0] * gy[m] + A[0, 1] * gx[m] + b[0]
+                    gx2 = A[1, 0] * gy[m] + A[1, 1] * gx[m] + b[1]
+                    t2 = np.full(int(m.sum()), rel.neighbor_tile)
+                    s2, sj, si, _fy, _fx = self._locate_source(t2, gy2, gx2)
+                    img = A @ d
+                    # x-direction image -> source u component, y -> v
+                    if abs(img[1]) > 0.5:
+                        src_comp, sign = "u", img[1]
+                    else:
+                        src_comp, sign = "v", img[0]
+                    block = np.stack(
+                        [
+                            np.full(int(m.sum()), s),
+                            jj[m],
+                            ii[m],
+                            s2,
+                            sj,
+                            si,
+                            np.full(int(m.sum()), sign),
+                        ],
+                        axis=1,
+                    )
+                    tables[(comp, src_comp)].append(block)
+        out = {}
+        for key, blocks in tables.items():
+            out[key] = _as_subtable(
+                np.concatenate(blocks, axis=0) if blocks else np.zeros((0, 7))
+            )
+        return out
+
     def scalar_table(self, stagger: str = "center", fold: str = "x") -> _SubTable:
         key = (stagger, fold)
         if key not in self._scalar_tables:
@@ -333,6 +405,33 @@ class HaloExchanger:
         tbl = self.scalar_table(stagger, fold)
         vals = _gather(q, tbl.ss, tbl.sj, tbl.si)
         return _scatter_set(q, tbl.ds, tbl.dj, tbl.di, vals)
+
+    def sync_tables(self, kind: str = "dgrid"):
+        if kind not in self._sync_tables:
+            self._sync_tables[kind] = self._build_interface_sync(kind)
+        return self._sync_tables[kind]
+
+    def sync_vector_interfaces(self, u, v, kind: str = "dgrid"):
+        """Force tile-boundary interface values of (u, v) to the edge owner's.
+
+        Use on staggered winds after they are updated independently per shard,
+        and on (fx, fy) interface fluxes (kind="cgrid") to make cross-edge
+        fluxes single-valued — the exact-conservation guarantee.
+        """
+        tbls = self.sync_tables(kind)
+        out_u, out_v = u, v
+        for (dst_comp, src_comp), tbl in tbls.items():
+            if tbl.size == 0:
+                continue
+            src = u if src_comp == "u" else v
+            vals = _apply_sign(
+                _gather(src, tbl.ss, tbl.sj, tbl.si), tbl.sign.astype(src.dtype), src.ndim
+            )
+            if dst_comp == "u":
+                out_u = _scatter_set(out_u, tbl.ds, tbl.dj, tbl.di, vals)
+            else:
+                out_v = _scatter_set(out_v, tbl.ds, tbl.dj, tbl.di, vals)
+        return out_u, out_v
 
     def update_vector(self, u, v, kind: str = "dgrid", fold: str = "x"):
         """Fill ghost cells of a staggered vector pair with rotation/sign flips."""

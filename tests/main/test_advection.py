@@ -1,0 +1,150 @@
+"""Tests for the PPM transport slice: xppm exactness, monotonicity, and
+solid-body tracer advection on the cubed sphere (mass conservation + accuracy).
+
+Mirrors the reference test strategy (SURVEY.md §4): physics-based invariants
+runnable on CPU, with the cube run as stacked shards on one host.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pace_tpu.grid.generation import GridSpec, MetricTerms
+from pace_tpu.grid.grid_data import GridData
+from pace_tpu.ops import ppm
+from pace_tpu.ops.fxadv import flux_prep
+from pace_tpu.ops.fvtp2d import fvtp2d
+from pace_tpu.ops.tracer_advection import advect_tracers
+from pace_tpu.ops.stencil_utils import x_iface_diff, y_iface_diff
+
+
+def test_xppm_linear_exact():
+    """PPM reproduces the exact swept mean for a linear field."""
+    a, b = 0.7, -2.0
+    n = 16
+    q = (a * np.arange(n) + b)[None, None, :] * np.ones((1, 4, 1))
+    for c0 in (0.4, -0.3):
+        c = np.full((1, 4, n), c0)
+        f = ppm.xppm(jnp.asarray(q), jnp.asarray(c), hord=5)
+        # interface i between cells i-1 and i; mean over swept region
+        i = np.arange(3, n - 2)
+        if c0 > 0:
+            expect = a * (i - 1) + b + (1 - c0) * a / 2
+        else:
+            expect = a * i + b - (1 + c0) * a / 2
+        np.testing.assert_allclose(
+            np.asarray(f)[0, :, i], np.tile(expect[:, None], (1, 4)), rtol=1e-13
+        )
+
+
+def test_xppm_monotone_no_overshoot():
+    """hord=8 interface values stay within the bounds of adjacent cells."""
+    rng = np.random.RandomState(0)
+    q = rng.rand(1, 2, 32)
+    q[..., 10:20] += 5.0  # sharp step
+    c = rng.uniform(-0.9, 0.9, (1, 2, 32))
+    f = np.asarray(ppm.xppm(jnp.asarray(q), jnp.asarray(c), hord=8))
+    lo = np.minimum(np.roll(q, 1, -1), q)
+    hi = np.maximum(np.roll(q, 1, -1), q)
+    sl = (slice(None), slice(None), slice(2, 30))
+    assert (f[sl] >= lo[sl] - 1e-12).all()
+    assert (f[sl] <= hi[sl] + 1e-12).all()
+
+
+@pytest.fixture(scope="module")
+def c24():
+    spec = GridSpec(n_tile=24, npz=3, layout=(1, 1))
+    mt = MetricTerms.generate(spec)
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float64)
+    return spec, mt, grid
+
+
+def _solid_body_winds(mt, axis, omega_rot):
+    """Covariant C-grid winds of rigid rotation about ``axis`` (unit 3-vector)."""
+    from pace_tpu.constants import RADIUS
+
+    def vel(p):  # p: (..., 3) unit sphere points
+        return omega_rot * RADIUS * np.cross(np.broadcast_to(axis, p.shape), p)
+
+    uc = np.sum(vel(mt.xyz_v) * mt.ew1, axis=-1)  # x-wind at x-interfaces
+    vc = np.sum(vel(mt.xyz_u) * mt.es2, axis=-1)  # y-wind at y-interfaces
+    return jnp.asarray(uc), jnp.asarray(vc)
+
+
+def _gaussian_blob(mt, center_xyz, width):
+    d2 = np.sum((mt.xyz_center - center_xyz) ** 2, axis=-1)
+    return np.exp(-d2 / width**2)
+
+
+def test_solid_body_rotation_conservation_and_accuracy(c24):
+    """Advect a Gaussian blob with a tilted rigid rotation across tile edges:
+    tracer mass must be conserved to roundoff and the shape preserved."""
+    spec, mt, grid = c24
+    halo = mt.halo
+    h = spec.n_halo
+
+    axis = np.array([1.0, 1.0, 1.0]) / np.sqrt(3.0)  # crosses edges + corners
+    # one full revolution in 240 steps; C24 cell ~ 415 km; courant ~ 0.5
+    n_steps = 24
+    omega_rot = 2 * np.pi / 240.0  # per "step time unit"
+    dt = 1.0
+    uc, vc = _solid_body_winds(mt, axis, omega_rot)
+    uc = uc[:, None]  # add K=1 axis
+    vc = vc[:, None]
+
+    crx, cry, xfx, yfx, _ut, _vt = flux_prep(uc, vc, grid, dt)
+
+    # initial blob away from the rotation axis
+    c0 = np.array([1.0, -1.0, 0.0]) / np.sqrt(2.0)
+    q0 = _gaussian_blob(mt, c0, width=0.45)
+    q = jnp.asarray(q0)[:, None, None]  # (S, nq=1, K=1, Y, X)
+    dp = jnp.ones_like(q[:, 0])  # (S, K, Y, X)
+
+    # mass fluxes for dp: transport dp itself with the area fluxes
+    dpx = halo.update_scalar(dp, fold="x")
+    dpy = halo.update_scalar(dp, fold="y")
+    interior = (slice(None), slice(None), slice(h, -h), slice(h, -h))
+    area = np.asarray(grid.area)[:, None, h:-h, h:-h]
+
+    mass0 = float(jnp.sum(q[:, 0][interior] * dp[interior] * area))
+
+    for _ in range(n_steps):
+        dpx = halo.update_scalar(dp, fold="x")
+        dpy = halo.update_scalar(dp, fold="y")
+        fl = fvtp2d(dpx, dpy, crx, cry, xfx, yfx, grid.area, hord=8)
+        mfx, mfy = halo.sync_vector_interfaces(fl.fx, fl.fy, kind="cgrid")
+        q, dp = advect_tracers(
+            q, dp, crx, cry, xfx, yfx, mfx, mfy, halo, grid, hord=8, n_split=1
+        )
+
+    mass1 = float(jnp.sum(q[:, 0][interior] * dp[interior] * area))
+    assert abs(mass1 - mass0) / mass0 < 1e-12, "tracer mass not conserved"
+
+    # dp stays near 1 (the discrete divergence of the *prescribed* rigid
+    # rotation is pure truncation error, largest at cube corners at C24)
+    dp_int = np.asarray(dp[interior])
+    assert abs(dp_int - 1.0).max() < 0.15
+    assert abs(dp_int - 1.0).mean() < 0.02
+
+    # accuracy: compare with the analytically rotated blob
+    theta = omega_rot * dt * n_steps
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    R = np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+    q_exact = _gaussian_blob(mt, R @ c0, width=0.45)[:, h:-h, h:-h]
+    q_num = np.asarray(q[:, 0, 0][(slice(None), slice(h, -h), slice(h, -h))])
+    err = np.sqrt(np.mean((q_num - q_exact) ** 2)) / q_exact.max()
+    assert err < 0.02, f"L2 error {err} too large"
+    assert abs(q_num - q_exact).max() / q_exact.max() < 0.1
+
+
+def test_flux_prep_contravariant_orthogonal_limit(c24):
+    """Where the grid is (nearly) orthogonal, ut ~ uc."""
+    spec, mt, grid = c24
+    uc = jnp.asarray(np.ones_like(mt.sina_v))[:, None]
+    vc = jnp.zeros((uc.shape[0], 1) + mt.sina_u.shape[1:])
+    crx, cry, xfx, yfx, ut, vt = flux_prep(uc, vc, grid, dt=1.0)
+    # tile-center region of an equatorial tile is nearly orthogonal
+    mid = np.asarray(ut)[0, 0, 12:18, 12:18]
+    np.testing.assert_allclose(mid, 1.0, atol=0.05)
