@@ -22,6 +22,66 @@ from .generation import MetricTerms, SG_CENTER, SG_W, SG_E, SG_S, SG_N
 _TINY = 1e-8
 
 
+def _band(mask: np.ndarray, axis: int, width: int = 2) -> np.ndarray:
+    """Widen a 0/1 mask by ``width`` on each side along ``axis``."""
+    out = mask.copy()
+    for d in range(1, width + 1):
+        out = out + np.roll(mask, d, axis=axis) + np.roll(mask, -d, axis=axis)
+    return (out > 0).astype(mask.dtype)
+
+
+def _center_band(
+    edge_x_iface: np.ndarray, edge_y_iface: np.ndarray, Ys: int, Xs: int
+) -> np.ndarray:
+    """Cells within 2 of a tile edge in either direction: (S, Y, X)."""
+    S = edge_x_iface.shape[0]
+    bx = np.zeros((S, 1, Xs))
+    for s in range(S):
+        cols = np.nonzero(edge_x_iface[s, 0])[0]
+        for c in cols:
+            lo = max(c - 3, 0)
+            hi = min(c + 3, Xs)
+            bx[s, 0, lo:hi] = 1.0
+    by = np.zeros((S, Ys, 1))
+    for s in range(S):
+        rows = np.nonzero(edge_y_iface[s, :, 0])[0]
+        for r in rows:
+            lo = max(r - 3, 0)
+            hi = min(r + 3, Ys)
+            by[s, lo:hi, 0] = 1.0
+    return ((bx + by) > 0).astype(np.float64) * np.ones((S, Ys, Xs))
+
+
+def _wind_solve_minv(mt: MetricTerms) -> np.ndarray:
+    """Per-cell inverse normal matrix for the covariant->Cartesian wind solve.
+
+    Samples: the D-grid covariant winds on the cell's four faces — u at the
+    two y-interfaces (basis es1 there) and v at the two x-interfaces (basis
+    ew2). M = sum_k e_k e_k^T + r r^T (the radial term regularizes the
+    tangent-plane rank-2 system; V has no radial component so it does not
+    bias the solution). Returns (S, 3, 3, Y, X).
+    """
+    es1 = mt.es1  # (S, Y+1, X, 3)
+    ew2 = mt.ew2  # (S, Y, X+1, 3)
+    r = mt.xyz_center  # (S, Y, X, 3) unit radial
+    if np.abs(r).max() == 0.0:  # doubly-periodic plane: use z as "radial"
+        r = np.zeros_like(r)
+        r[..., 2] = 1.0
+
+    def outer(e):
+        return e[..., :, None] * e[..., None, :]
+
+    M = (
+        outer(es1[:, :-1, :])
+        + outer(es1[:, 1:, :])
+        + outer(ew2[:, :, :-1])
+        + outer(ew2[:, :, 1:])
+        + outer(r)
+    )  # (S, Y, X, 3, 3)
+    minv = np.linalg.inv(M)
+    return np.moveaxis(minv, (-2, -1), (1, 2))  # (S, 3, 3, Y, X)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GridData:
@@ -85,6 +145,25 @@ class GridData:
     edge_e_iface: jnp.ndarray
     edge_s_iface: jnp.ndarray  # (S, Y+1, 1)
     edge_n_iface: jnp.ndarray
+    # band masks: 1.0 on interfaces whose interpolation stencil crosses a tile
+    # edge (edge column/row +- 2)
+    edge_band_x: jnp.ndarray  # (S, 1, X+1)
+    edge_band_y: jnp.ndarray  # (S, Y+1, 1)
+
+    # unit local basis 3-vectors (for kink-safe vector interpolation at tile
+    # edges and lat-lon wind conversion); component axis FIRST after S so the
+    # trailing axes stay (Y, X) for the stencil helpers
+    ec1: jnp.ndarray  # (S, 3, Y, X) x-basis at centers
+    ec2: jnp.ndarray  # y-basis at centers
+    ew1: jnp.ndarray  # (S, 3, Y, X+1) x-basis at x-interfaces
+    ew2: jnp.ndarray
+    es1: jnp.ndarray  # (S, 3, Y+1, X) x-basis at y-interfaces
+    es2: jnp.ndarray
+    # center band mask: cells whose 4-pt interp stencil crosses a tile edge
+    band_c: jnp.ndarray  # (S, Y, X)
+    # inverse normal matrices of the per-cell covariant->Cartesian wind solve:
+    # V = minv @ (sum_k sample_k * basis_k); radial direction regularized out
+    minv: jnp.ndarray  # (S, 3, 3, Y, X)
 
     # static metadata
     ptop: float = dataclasses.field(metadata=dict(static=True), default=0.0)
@@ -177,6 +256,16 @@ class GridData:
             edge_e_iface=j(edge_e),
             edge_s_iface=j(edge_s),
             edge_n_iface=j(edge_n),
+            edge_band_x=j(_band(edge_w + edge_e, axis=2)),
+            edge_band_y=j(_band(edge_s + edge_n, axis=1)),
+            ec1=j(np.moveaxis(mt.ec1, -1, 1)),
+            ec2=j(np.moveaxis(mt.ec2, -1, 1)),
+            ew1=j(np.moveaxis(mt.ew1, -1, 1)),
+            ew2=j(np.moveaxis(mt.ew2, -1, 1)),
+            es1=j(np.moveaxis(mt.es1, -1, 1)),
+            es2=j(np.moveaxis(mt.es2, -1, 1)),
+            band_c=j(_center_band(edge_w + edge_e, edge_s + edge_n, Ys, Xs)),
+            minv=j(_wind_solve_minv(mt)),
             ptop=float(mt.ak[0]),
             n_halo=h,
             npz=spec.npz,
