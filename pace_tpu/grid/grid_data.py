@@ -161,6 +161,12 @@ class GridData:
     es2: jnp.ndarray
     # center band mask: cells whose 4-pt interp stencil crosses a tile edge
     band_c: jnp.ndarray  # (S, Y, X)
+    # cube-corner point masks (corner stagger, (S, Y+1, X+1)): 1.0 where the
+    # corner point is a 3-valent cube corner, by which tile quadrant is real
+    corner_sw: jnp.ndarray  # tile occupies the NE quadrant of the point
+    corner_se: jnp.ndarray  # tile occupies NW
+    corner_nw: jnp.ndarray  # tile occupies SE
+    corner_ne: jnp.ndarray  # tile occupies SW
     # inverse normal matrices of the per-cell covariant->Cartesian wind solve:
     # V = minv @ (sum_k sample_k * basis_k); radial direction regularized out
     minv: jnp.ndarray  # (S, 3, 3, Y, X)
@@ -169,6 +175,8 @@ class GridData:
     ptop: float = dataclasses.field(metadata=dict(static=True), default=0.0)
     n_halo: int = dataclasses.field(metadata=dict(static=True), default=3)
     npz: int = dataclasses.field(metadata=dict(static=True), default=79)
+    da_min: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    da_min_c: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
     @classmethod
     def from_metric_terms(cls, mt: MetricTerms, dtype=None) -> "GridData":
@@ -193,6 +201,7 @@ class GridData:
         edge_e = np.zeros((S, 1, Xs + 1))
         edge_s = np.zeros((S, Ys + 1, 1))
         edge_n = np.zeros((S, Ys + 1, 1))
+        corner_masks = np.zeros((4, S, Ys + 1, Xs + 1))
         n = spec.n_tile
         if spec.grid_type != 4:  # the doubly-periodic plane has no edges
             for s in range(S):
@@ -211,6 +220,14 @@ class GridData:
                         edge_s[s, jj, 0] = 1.0
                     if gy0 + jj == n:
                         edge_n[s, jj, 0] = 1.0
+                # cube-corner points owned by this shard
+                for kind, (gy, gx) in enumerate(
+                    [(0, 0), (0, n), (n, 0), (n, n)]  # sw, se, nw, ne
+                ):
+                    jj = gy - gy0
+                    ii = gx - gx0
+                    if 0 <= jj <= Ys and 0 <= ii <= Xs:
+                        corner_masks[kind, s, jj, ii] = 1.0
 
         return cls(
             dx=j(mt.dx),
@@ -266,7 +283,13 @@ class GridData:
             es2=j(np.moveaxis(mt.es2, -1, 1)),
             band_c=j(_center_band(edge_w + edge_e, edge_s + edge_n, Ys, Xs)),
             minv=j(_wind_solve_minv(mt)),
+            corner_sw=j(corner_masks[0]),
+            corner_se=j(corner_masks[1]),
+            corner_nw=j(corner_masks[2]),
+            corner_ne=j(corner_masks[3]),
             ptop=float(mt.ak[0]),
             n_halo=h,
             npz=spec.npz,
+            da_min=float(mt.area[:, h:-h, h:-h].min()),
+            da_min_c=float(mt.area_c[:, h + 1 : -h - 1, h + 1 : -h - 1].min()),
         )

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
+
 import jax.numpy as jnp
 
 from .d2a2c import d2a2c_vect
@@ -38,6 +40,7 @@ from .stencil_utils import (
 )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CGridState:
     delpc: jnp.ndarray
@@ -67,23 +70,27 @@ def corner_vorticity(uc, vc, grid, absolute: bool = True):
     return vort
 
 
-def divergence_corner(u, v, ua, va, grid):
+def divergence_corner(u, v, va_x, ua_y, grid):
     """Corner divergence of the D-grid winds (reference ``divergence_corner``).
 
     Net outflow through the dual cell around each corner: the D-grid wind on
     each primal edge is converted to the normal component via the local angle
     (contravariant projection) and multiplied by the dual edge length.
+
+    ``va_x``/``ua_y`` are the contravariant A-grid winds with corner ghosts in
+    the x / y fold respectively — the fold each leg's cross-term average needs
+    near cube corners (exchange them with halo.update_vector kind="agrid").
     """
     # contravariant u~ = u_cov - v~ cos(theta); normal component = u~ sin(theta).
     # uf (at y-interface u points) is the +x normal flux through the dual edge
     # crossing that u point; vf (at x-interface v points) the +y normal flux.
-    va_c = 0.5 * (y_cell_to_left_iface(va) + y_cell_to_right_iface(va))
+    va_c = 0.5 * (y_cell_to_left_iface(va_x) + y_cell_to_right_iface(va_x))
     uf = (
         (u - va_c * bcast_k(grid.cosa_v, u))
         * bcast_k(grid.sina_v, u)
         * bcast_k(grid.dyc, u)
     )  # (.., Y+1, X)
-    ua_c = 0.5 * (x_cell_to_left_iface(ua) + x_cell_to_right_iface(ua))
+    ua_c = 0.5 * (x_cell_to_left_iface(ua_y) + x_cell_to_right_iface(ua_y))
     vf = (
         (v - ua_c * bcast_k(grid.cosa_u, v))
         * bcast_k(grid.sina_u, v)
@@ -95,12 +102,33 @@ def divergence_corner(u, v, ua, va, grid):
     out = (
         x_cell_to_right_iface(uf) - x_cell_to_left_iface(uf)
     ) + (y_cell_to_right_iface(vf) - y_cell_to_left_iface(vf))
+    # at 3-valent cube corners two of the four legs cross the SAME physical
+    # face; keep their average, not their sum
+    from .corners import dedup_corner_divergence
+
+    out = dedup_corner_divergence(uf, vf, grid, out)
     return out * bcast_k(grid.rarea_c, out)
 
 
-def c_sw(u, v, delp, pt, grid, dt2: float):
-    """One C-grid half step. Inputs carry fresh halos (depth >= 3)."""
-    ua, va, uc, vc, ut, vt = d2a2c_vect(u, v, grid)
+def c_sw(u, v, delp, pt, grid, halo, dt2: float):
+    """One C-grid half step. Inputs carry fresh halos (depth >= 3).
+
+    ``u`` should carry y-fold corner ghosts and ``v`` x-fold (each is swept
+    along its own interface axis). Derived winds (ua/va, uc/vc) are
+    halo-exchanged so their corner-region ghosts are exact in the fold each
+    consumer needs — the analog of the reference's per-sweep fill_corners
+    calls inside c_sw/d2a2c.
+    """
+    from ..ops.fxadv import contravariant_c_winds
+
+    ua, va, uc, vc, _ut, _vt = d2a2c_vect(u, v, grid)
+    uc, vc = halo.sync_vector_interfaces(uc, vc, kind="cgrid")
+    uc_x, vc_x = halo.update_vector(uc, vc, kind="cgrid", fold="x")
+    uc_y, vc_y = halo.update_vector(uc, vc, kind="cgrid", fold="y")
+    ut, _ = contravariant_c_winds(uc_x, vc_x, grid)
+    _, vt = contravariant_c_winds(uc_y, vc_y, grid)
+    ua_x, va_x = halo.update_vector(ua, va, kind="agrid", fold="x")
+    ua_y, va_y = halo.update_vector(ua, va, kind="agrid", fold="y")
 
     # --- provisional delp/pt: first-order upwind transport over dt2
     xfx = (
@@ -172,7 +200,19 @@ def c_sw(u, v, delp, pt, grid, dt2: float):
     )
     vc_new = vc + dt2 * (-zeta_v * u_n + ke_gy)
 
-    divg_d = divergence_corner(u, v, ua, va, grid)
+    # Corner divergence for damping. At cube corners the dual-cell formula is
+    # replaced by the mean CELL divergence of the 3 real quadrants (computed
+    # from the same contravariant face fluxes as the delp transport), and the
+    # result is halo-exchanged so downstream Laplacian iterations see exact
+    # owner values in all ghost slots.
+    from .corners import average_3_quadrants
+
+    divg_d = divergence_corner(u, v, va_x, ua_y, grid)
+    cell_div = (
+        -(x_iface_diff(xfx) + y_iface_diff(yfx)) * rarea / dt2
+    )
+    divg_d = average_3_quadrants(cell_div, grid, divg_d)
+    divg_d = halo.update_scalar(divg_d, stagger="corner", fold="x")
 
     return CGridState(
         delpc=delpc,

@@ -1,0 +1,243 @@
+"""D-grid shallow-water Lagrangian dynamics (the forward step of the acoustic
+loop).
+
+TPU-native analog of ``pyFV3.stencils.d_sw.DGridShallowWaterLagrangianDynamics``
+(reference role per SURVEY.md §2.3: flux-form advection of delp/pt/w,
+vorticity-flux momentum update, kinetic-energy gradient, damping; savepoint
+stage ``D_SW``).
+
+Scheme (Lin & Rood 1997 vector-invariant, circulation form):
+
+- Mass/heat/w advance with fvtp2d fluxes of the time-centered C-grid winds.
+- On the D grid the absolute vorticity is naturally CELL-CENTERED (primal-cell
+  circulation of the edge winds), so its fluxes come from the same fvtp2d
+  operator and land exactly on the wind points:
+
+      u*dx +=  (dtke_i - dtke_{i+1})  + fy_vort      (x-edge, corners i, i+1)
+      v*dy +=  (dtke_j - dtke_{j+1})  - fx_vort
+
+  with dtke = dt*KE at corners minus the divergence-damping potential.
+
+All cross-tile-edge fluxes are synchronized to the owning tile's values, so
+mass/heat/moisture/w are conserved to roundoff globally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .delnflux import delnflux, lap_corner
+from .fvtp2d import fvtp2d
+from .fxadv import flux_prep
+from .stencil_utils import (
+    bcast_k,
+    x_cell_to_left_iface,
+    x_cell_to_right_iface,
+    x_iface_diff,
+    y_cell_to_left_iface,
+    y_cell_to_right_iface,
+    y_iface_diff,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DSWConfig:
+    """Subset of the reference DGridShallowWaterLagrangianDynamicsConfig
+    (reference tests/main/fv3core/test_config.py:11-17 name parity)."""
+
+    hord_mt: int = 6
+    hord_vt: int = 6
+    hord_tm: int = 6
+    hord_dp: int = 6
+    nord: int = 1  # divergence damping order (0=del2, 1=del4, 2=del6)
+    d2_bg: float = 0.0
+    d4_bg: float = 0.16
+    dddmp: float = 0.0  # Smagorinsky-type adaptive damping (not yet used)
+    damp_w: float = 0.0  # vertical-velocity del-n damping coefficient
+    vtdm4: float = 0.0  # momentum del-4 damping (not yet used)
+    d_con: float = 0.0  # dissipation heating fraction (not yet used)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DSWResult:
+    u: jnp.ndarray
+    v: jnp.ndarray
+    w: Optional[jnp.ndarray]
+    delp: jnp.ndarray
+    pt: jnp.ndarray
+    # accumulated-step fluxes for tracer transport & diagnostics
+    mfx: jnp.ndarray
+    mfy: jnp.ndarray
+    crx: jnp.ndarray
+    cry: jnp.ndarray
+    xfx: jnp.ndarray
+    yfx: jnp.ndarray
+
+
+def absolute_vorticity_centers(u, v, grid):
+    """f + primal-cell circulation of the D-grid covariant winds / area."""
+    udx = u * bcast_k(grid.dx, u)  # (.., Y+1, X)
+    vdy = v * bcast_k(grid.dy, v)  # (.., Y, X+1)
+    circ = (
+        udx[..., :-1, :]  # south edge, +x
+        - udx[..., 1:, :]  # north edge, -x
+        + vdy[..., 1:]  # east edge, +y
+        - vdy[..., :-1]  # west edge, -y
+    )
+    return circ * bcast_k(grid.rarea, circ) + bcast_k(grid.f0, circ)
+
+
+def kinetic_energy_corners(u, v, ut, vt, grid, dt: float):
+    """dt * KE at corners: 0.5 (ub*u_up + vb*v_up), contravariant B-grid wind
+    times upwinded covariant edge wind (energy-consistent pairing). At the
+    3-valent cube corners the B-grid averages mix chart orientations; there
+    the KE is replaced by the mean cell energy of the 3 real quadrants."""
+    # contravariant x-wind at corners: average ut (x-interfaces) in y
+    ub = 0.5 * (y_cell_to_left_iface(ut) + y_cell_to_right_iface(ut))
+    vb = 0.5 * (x_cell_to_left_iface(vt) + x_cell_to_right_iface(vt))
+    # covariant u at corner (jj, ii): upwind of the two x-edges meeting there
+    u_up = jnp.where(
+        ub > 0.0, x_cell_to_left_iface(u), x_cell_to_right_iface(u)
+    )
+    v_up = jnp.where(
+        vb > 0.0, y_cell_to_left_iface(v), y_cell_to_right_iface(v)
+    )
+    ke = 0.5 * (ub * u_up + vb * v_up)
+
+    # cell energies for the cube-corner fix (cheap 2-pt covariant averages)
+    from .corners import average_3_quadrants
+
+    u_cov = 0.5 * (u[..., :-1, :] + u[..., 1:, :])
+    v_cov = 0.5 * (v[..., :-1] + v[..., 1:])
+    rsin2 = bcast_k(grid.rsin2, u_cov)
+    cosa_s = bcast_k(grid.cosa_s, u_cov)
+    ua_c = (u_cov - v_cov * cosa_s) * rsin2
+    va_c = (v_cov - u_cov * cosa_s) * rsin2
+    e_cell = 0.5 * (ua_c * u_cov + va_c * v_cov)
+    ke = average_3_quadrants(e_cell, grid, ke)
+    return dt * ke
+
+
+def d_sw(
+    u,
+    v,
+    w,
+    delp_x,
+    delp_y,
+    pt_x,
+    pt_y,
+    w_x,
+    w_y,
+    uc_x,
+    vc_x,
+    uc_y,
+    vc_y,
+    divg_d,
+    grid,
+    halo,
+    dt: float,
+    config: DSWConfig,
+) -> DSWResult:
+    """One forward D-grid step over ``dt``.
+
+    ``*_x``/``*_y`` are fields with corner ghosts filled in the x / y fold
+    convention (identical away from tile corners). The C-grid wind pair is
+    passed in both folds; x-direction transport quantities (crx, xfx) come
+    from the x-fold pair, y-direction from the y-fold pair, so strip-extreme
+    cross-term averages near cube corners read fold-consistent ghosts.
+    """
+    delp = delp_x
+    pt = pt_x
+    crx, _, xfx, _, ut, _ = flux_prep(uc_x, vc_x, grid, dt)
+    _, cry, _, yfx, _, vt = flux_prep(uc_y, vc_y, grid, dt)
+
+    rarea = grid.rarea
+
+    # --- mass fluxes
+    fl = fvtp2d(delp_x, delp_y, crx, cry, xfx, yfx, grid.area, config.hord_dp)
+    mfx, mfy = halo.sync_vector_interfaces(fl.fx, fl.fy, kind="cgrid")
+
+    # --- heat flux (pt carried with mass fluxes)
+    fpt = fvtp2d(
+        pt_x, pt_y, crx, cry, xfx, yfx, grid.area, config.hord_tm,
+        mfx=mfx, mfy=mfy,
+    )
+    ptfx, ptfy = halo.sync_vector_interfaces(fpt.fx, fpt.fy, kind="cgrid")
+
+    delp_new = delp + (x_iface_diff(mfx) + y_iface_diff(mfy)) * bcast_k(
+        rarea, delp
+    )
+    pt_new = (
+        pt * delp
+        + (x_iface_diff(ptfx) + y_iface_diff(ptfy)) * bcast_k(rarea, pt)
+    ) / delp_new
+
+    w_new = None
+    if w is not None:
+        fw = fvtp2d(
+            w_x, w_y, crx, cry, xfx, yfx, grid.area, config.hord_vt,
+            mfx=mfx, mfy=mfy,
+        )
+        wfx, wfy = halo.sync_vector_interfaces(fw.fx, fw.fy, kind="cgrid")
+        if config.damp_w > 0.0:
+            dfx, dfy = delnflux(w_x, grid, config.nord, config.damp_w, grid.da_min)
+            wfx = wfx + dfx
+            wfy = wfy + dfy
+        w_new = (
+            w * delp
+            + (x_iface_diff(wfx) + y_iface_diff(wfy)) * bcast_k(rarea, w)
+        ) / delp_new
+
+    # --- kinetic energy + divergence damping potential at corners
+    dtke = kinetic_energy_corners(u, v, ut, vt, grid, dt)
+    if config.nord == 0:
+        damp = config.d2_bg * grid.da_min_c
+        chi = damp * divg_d
+    else:
+        d2 = divg_d
+        for _ in range(config.nord):
+            d2 = lap_corner(d2, grid)
+        damp = (config.d4_bg * grid.da_min_c) ** (config.nord + 1)
+        # alternate sign so the resulting operator damps divergence
+        chi = damp * d2 * ((-1.0) ** config.nord)
+    dtke = dtke - chi
+
+    # --- vorticity fluxes via the same transport operator
+    vort = absolute_vorticity_centers(u, v, grid)
+    vort_x = halo.update_scalar(vort, fold="x")
+    vort_y = halo.update_scalar(vort, fold="y")
+    fv_ = fvtp2d(vort_x, vort_y, crx, cry, xfx, yfx, grid.area, config.hord_vt)
+    vfx, vfy = halo.sync_vector_interfaces(fv_.fx, fv_.fy, kind="cgrid")
+
+    # --- circulation-form momentum update
+    u_new = (
+        u * bcast_k(grid.dx, u)
+        + (dtke[..., :-1] - dtke[..., 1:])
+        + vfy
+    ) * bcast_k(grid.rdx, u)
+    v_new = (
+        v * bcast_k(grid.dy, v)
+        + (dtke[..., :-1, :] - dtke[..., 1:, :])
+        - vfx
+    ) * bcast_k(grid.rdy, v)
+    u_new, v_new = halo.sync_vector_interfaces(u_new, v_new, kind="dgrid")
+
+    return DSWResult(
+        u=u_new,
+        v=v_new,
+        w=w_new,
+        delp=delp_new,
+        pt=pt_new,
+        mfx=mfx,
+        mfy=mfy,
+        crx=crx,
+        cry=cry,
+        xfx=xfx,
+        yfx=yfx,
+    )

@@ -21,12 +21,15 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
+
 import jax.numpy as jnp
 
 from . import ppm
 from .stencil_utils import bcast_k, x_iface_diff, y_iface_diff
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Fluxes2D:
     fx: jnp.ndarray  # (S, [K,] Y, X+1) flux through x-interfaces (+x positive)

@@ -1,0 +1,135 @@
+"""Pressure-gradient force (Lin 1997 finite-volume form) + hydrostatic columns.
+
+TPU-native analogs of ``pyFV3.stencils.{nh_p_grad, one_grad_p, a2b_ord4}`` and
+the C-grid ``p_grad_c`` (reference roles per SURVEY.md §2.3). The PGF along an
+edge between two columns (1=left/south, 2=right/north), layers k bounded by
+interfaces k, k+1, is the contour integral of gz d(pk) around the (edge, k)
+face (shoelace form):
+
+    du = dt/(dl * (wk1 + wk2)) * [ (gz1[k+1]-gz2[k])*(pk2[k+1]-pk1[k])
+                                 + (gz1[k]-gz2[k+1])*(pk1[k+1]-pk2[k]) ]
+
+with wk = pk[k+1]-pk[k]. Vertical convention: pk = (p/P_REF)^kappa, prognostic
+pt = virtual potential temperature [K], hydrostatic gz: dgz = -cp * pt * d(pk).
+
+Layer arrays are (.., K, Y, X); interface arrays (.., K+1, Y, X) — the K axis
+stays at position -3 so the trailing (Y, X) stencil helpers keep working.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants
+from .d2a2c import centers_to_x_ifaces, centers_to_y_ifaces
+from .stencil_utils import (
+    bcast_k,
+    x_cell_to_left_iface,
+    x_cell_to_right_iface,
+    y_cell_to_left_iface,
+    y_cell_to_right_iface,
+)
+
+
+def a2b_ord4(q, grid=None):
+    """4th-order A-grid (cell centers) -> B-grid (corners) interpolation.
+
+    Analog of ``pyFV3.stencils.a2b_ord4.AGrid2BGridFourthOrder``. Uniform
+    separable weights; tile-edge halo values are true neighbor values so no
+    one-sided edge variants are required (accuracy degrades to ~2nd order in
+    the 2-cell edge band where the interpolated field kinks). At 3-valent
+    cube corners the separable stencil reads the folded quadrant; there the
+    value is the mean of the 3 one-sided diagonal extrapolations (reference
+    a2b_ord4 extrap_corner analog). (.., Y, X) -> (.., Y+1, X+1).
+    """
+    out = centers_to_y_ifaces(centers_to_x_ifaces(q))
+    if grid is not None:
+        from .corners import extrapolate_3_to_corner
+
+        out = extrapolate_3_to_corner(q, grid, out)
+    return out
+
+
+def hydrostatic_interfaces(delp, pt, phis, ptop: float):
+    """Interface pressures and geopotential from layer thickness/temperature.
+
+    Returns (pe, peln, pk, pkz, gz):
+      pe   (.., K+1, Y, X) interface pressure [Pa], pe[0] = ptop
+      peln log(pe)
+      pk   (pe / P_REF)^kappa
+      pkz  layer-mean pk (exact integral: d(pk)/(kappa d(ln p)))
+      gz   interface geopotential [m^2/s^2], gz[K] = phis
+    """
+    kap = constants.KAPPA
+    pe_below = ptop + jnp.cumsum(delp, axis=-3)
+    top = jnp.full_like(pe_below[..., :1, :, :], ptop)
+    pe = jnp.concatenate([top, pe_below], axis=-3)
+    peln = jnp.log(pe)
+    pk = (pe / constants.P_REF) ** kap
+    dpk = pk[..., 1:, :, :] - pk[..., :-1, :, :]
+    pkz = dpk / (kap * (peln[..., 1:, :, :] - peln[..., :-1, :, :]))
+    # gz upward accumulation: gz[k] = phis + cp * sum_{m>=k} pt[m] * dpk[m]
+    contrib = constants.CP_AIR * pt * dpk  # (.., K, Y, X)
+    csum = jnp.cumsum(contrib[..., ::-1, :, :], axis=-3)[..., ::-1, :, :]
+    phis_e = jnp.expand_dims(phis, -3) if phis.ndim < contrib.ndim else phis
+    gz_top = phis_e + csum
+    gz_sfc = phis_e * jnp.ones_like(contrib[..., :1, :, :])
+    gz = jnp.concatenate([gz_top, gz_sfc], axis=-3)
+    return pe, peln, pk, pkz, gz
+
+
+def _pgf_pair(gz1, gz2, pk1, pk2, dt: float, rdl):
+    """du = contour integral PGF between two interface-columns (K+1 arrays)."""
+    wk1 = pk1[..., 1:, :, :] - pk1[..., :-1, :, :]
+    wk2 = pk2[..., 1:, :, :] - pk2[..., :-1, :, :]
+    g1k, g1kp = gz1[..., :-1, :, :], gz1[..., 1:, :, :]
+    g2k, g2kp = gz2[..., :-1, :, :], gz2[..., 1:, :, :]
+    p1k, p1kp = pk1[..., :-1, :, :], pk1[..., 1:, :, :]
+    p2k, p2kp = pk2[..., :-1, :, :], pk2[..., 1:, :, :]
+    term = (g1kp - g2k) * (p2kp - p1k) + (g1k - g2kp) * (p1kp - p2k)
+    return dt * rdl * term / (wk1 + wk2)
+
+
+def p_grad_c(uc, vc, pkc, gz, grid, dt2: float):
+    """C-grid pressure-gradient update from cell-center interface columns."""
+    du = _pgf_pair(
+        x_cell_to_left_iface(gz),
+        x_cell_to_right_iface(gz),
+        x_cell_to_left_iface(pkc),
+        x_cell_to_right_iface(pkc),
+        dt2,
+        bcast_k(grid.rdxc, uc),
+    )
+    dv = _pgf_pair(
+        y_cell_to_left_iface(gz),
+        y_cell_to_right_iface(gz),
+        y_cell_to_left_iface(pkc),
+        y_cell_to_right_iface(pkc),
+        dt2,
+        bcast_k(grid.rdyc, vc),
+    )
+    return uc + du, vc + dv
+
+
+def one_grad_p(u, v, pk, gz, grid, dt: float):
+    """Hydrostatic D-grid pressure-gradient update (reference one_grad_p):
+    pk/gz interpolated to corners, then the contour PGF along each edge."""
+    pk_b = a2b_ord4(pk, grid)  # (.., K+1, Y+1, X+1)
+    gz_b = a2b_ord4(gz, grid)
+    du = _pgf_pair(
+        gz_b[..., :, :-1],
+        gz_b[..., :, 1:],
+        pk_b[..., :, :-1],
+        pk_b[..., :, 1:],
+        dt,
+        bcast_k(grid.rdx, u),
+    )
+    dv = _pgf_pair(
+        gz_b[..., :-1, :],
+        gz_b[..., 1:, :],
+        pk_b[..., :-1, :],
+        pk_b[..., 1:, :],
+        dt,
+        bcast_k(grid.rdy, v),
+    )
+    return u + du, v + dv

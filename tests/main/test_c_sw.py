@@ -77,7 +77,7 @@ def test_divergence_corner_rigid_rotation(setup):
     spec, mt, grid, axis, om, vel, u, v = setup
     h = spec.n_halo
     ua, va, _uc, _vc, _ut, _vt = d2a2c_vect(u, v, grid)
-    div = np.asarray(divergence_corner(u, v, ua, va, grid))
+    div = np.asarray(divergence_corner(u, v, va, ua, grid))
     sl = (slice(None), slice(h + 1, -h - 1), slice(h + 1, -h - 1))
     assert np.abs(div[sl]).max() / (2 * om) < 2e-2
 
@@ -92,7 +92,7 @@ def test_c_sw_runs_and_preserves_uniform_state(setup):
     v0 = jnp.zeros((S, Ys, Xs + 1))
     delp = jnp.full((S, Ys, Xs), 1000.0)
     pt = jnp.full((S, Ys, Xs), 300.0)
-    st = c_sw(u0, v0, delp, pt, grid, dt2=100.0)
+    st = c_sw(u0, v0, delp, pt, grid, mt.halo, dt2=100.0)
     assert np.allclose(np.asarray(st.delpc), 1000.0)
     assert np.allclose(np.asarray(st.ptc), 300.0)
     assert np.abs(np.asarray(st.uc)).max() == 0.0
