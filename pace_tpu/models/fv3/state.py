@@ -1,0 +1,140 @@
+"""DycoreState: the prognostic/diagnostic state of the FV3 dynamical core.
+
+TPU-native analog of ``pyFV3.DycoreState`` (reference field inventory at
+driver/pace/driver/state.py:119-151 and tests/mpi_54rank/test_grid_init.py:
+123-140: u, v, w, ua, va, uc, vc, delp, delz, pt, ps, pe, peln, pk, pkz,
+phis, omga, q_con, mfxd, mfyd, cxd, cyd, diss_estd + 9 tracers).
+
+One flat pytree dataclass of stacked raw arrays (S, [K,] Y, X); tracers are
+one stacked block (S, nq, K, Y, X) indexed by TRACER_NAMES — on TPU this keeps
+the transport and remap operators running over the whole block at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import constants
+
+#: reference tracer registry (driver/pace/driver/state.py restart comment)
+TRACER_NAMES = (
+    "qvapor",
+    "qliquid",
+    "qice",
+    "qrain",
+    "qsnow",
+    "qgraupel",
+    "qo3mr",
+    "qsgs_tke",
+    "qcld",
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DycoreState:
+    # prognostic
+    u: jnp.ndarray  # (S, K, Y+1, X) D-grid covariant x-wind [m/s]
+    v: jnp.ndarray  # (S, K, Y, X+1)
+    delp: jnp.ndarray  # (S, K, Y, X) pressure thickness [Pa]
+    pt: jnp.ndarray  # (S, K, Y, X) virtual potential temperature [K]
+    q: jnp.ndarray  # (S, nq, K, Y, X) tracers [kg/kg]
+    w: Optional[jnp.ndarray] = None  # (S, K, Y, X) vertical velocity [m/s]
+    delz: Optional[jnp.ndarray] = None  # (S, K, Y, X) layer height [m], negative
+
+    # surface / column diagnostics
+    phis: Optional[jnp.ndarray] = None  # (S, Y, X) surface geopotential
+    ps: Optional[jnp.ndarray] = None  # (S, Y, X) surface pressure
+    pe: Optional[jnp.ndarray] = None  # (S, K+1, Y, X) interface pressure
+    peln: Optional[jnp.ndarray] = None
+    pk: Optional[jnp.ndarray] = None  # (pe/P_REF)^kappa at interfaces
+    pkz: Optional[jnp.ndarray] = None  # layer-mean pk
+    omga: Optional[jnp.ndarray] = None  # dp/dt [Pa/s]
+
+    # A/C-grid wind diagnostics (filled by the dycore step)
+    ua: Optional[jnp.ndarray] = None
+    va: Optional[jnp.ndarray] = None
+    uc: Optional[jnp.ndarray] = None
+    vc: Optional[jnp.ndarray] = None
+
+    # accumulated fluxes (for physics/diagnostics; reference mfxd etc.)
+    mfxd: Optional[jnp.ndarray] = None
+    mfyd: Optional[jnp.ndarray] = None
+    cxd: Optional[jnp.ndarray] = None
+    cyd: Optional[jnp.ndarray] = None
+    diss_estd: Optional[jnp.ndarray] = None
+    q_con: Optional[jnp.ndarray] = None
+
+    @property
+    def qvapor(self):
+        return self.q[:, TRACER_NAMES.index("qvapor")]
+
+    def tracer(self, name: str):
+        return self.q[:, TRACER_NAMES.index(name)]
+
+    @classmethod
+    def init_zeros(cls, shapes, dtype=None) -> "DycoreState":
+        """Allocate an all-zero state. ``shapes`` is a dict with S, K, Y, X."""
+        if dtype is None:
+            from ... import dtypes
+
+            dtype = dtypes.Float
+        S, K, Y, X = shapes["S"], shapes["K"], shapes["Y"], shapes["X"]
+        z = lambda *sh: jnp.zeros(sh, dtype=dtype)  # noqa: E731
+        return cls(
+            u=z(S, K, Y + 1, X),
+            v=z(S, K, Y, X + 1),
+            delp=z(S, K, Y, X),
+            pt=z(S, K, Y, X),
+            q=z(S, len(TRACER_NAMES), K, Y, X),
+            w=z(S, K, Y, X),
+            delz=z(S, K, Y, X),
+            phis=z(S, Y, X),
+            ps=z(S, Y, X),
+            pe=z(S, K + 1, Y, X),
+            peln=z(S, K + 1, Y, X),
+            pk=z(S, K + 1, Y, X),
+            pkz=z(S, K, Y, X),
+        )
+
+    @classmethod
+    def from_baroclinic_init(cls, mt, perturbation: bool = True, moist: bool = False,
+                             dtype=None) -> "DycoreState":
+        """Build from the JW06 analytic state (see init_baroclinic)."""
+        from .init_baroclinic import init_baroclinic_state
+
+        if dtype is None:
+            from ... import dtypes
+
+            dtype = dtypes.Float
+        st = init_baroclinic_state(mt, perturbation=perturbation)
+        S, K = st["delp"].shape[:2]
+        Y, X = st["delp"].shape[2:]
+        q = np.zeros((S, len(TRACER_NAMES), K, Y, X))
+        pe = mt.ak[None, :, None, None] + mt.bk[None, :, None, None] * st["ps"][:, None]
+        peln = np.log(np.maximum(pe, 1e-8))
+        pk = (pe / constants.P_REF) ** constants.KAPPA
+        pkz = (pk[:, 1:] - pk[:, :-1]) / (
+            constants.KAPPA * (peln[:, 1:] - peln[:, :-1])
+        )
+        j = lambda a: jnp.asarray(a, dtype=dtype)  # noqa: E731
+        return cls(
+            u=j(st["u"]),
+            v=j(st["v"]),
+            delp=j(st["delp"]),
+            pt=j(st["pt"]),
+            q=j(q),
+            w=None,
+            delz=None,
+            phis=j(st["phis"]),
+            ps=j(st["ps"]),
+            pe=j(pe),
+            peln=j(peln),
+            pk=j(pk),
+            pkz=j(pkz),
+        )

@@ -36,10 +36,11 @@ def _vertical_perturbations(q, monotone: bool):
     br = shift(al, 1) - q
     if monotone:
         bl, br = _monotone_limit(q, bl, br)
-    # top and bottom cells: piecewise constant (no valid neighbors)
+    # top/bottom two cells: piecewise constant (their interface estimates
+    # would read wrapped/one-sided neighbors)
     k = q.shape[-3]
     idx = jnp.arange(k).reshape((k,) + (1,) * 2)
-    edge = (idx <= 0) | (idx >= k - 1)
+    edge = (idx <= 1) | (idx >= k - 2)
     bl = jnp.where(edge, 0.0, bl)
     br = jnp.where(edge, 0.0, br)
     return bl, br

@@ -60,15 +60,16 @@ _VECTOR_KINDS = {
 
 @dataclasses.dataclass(frozen=True)
 class _SubTable:
-    """Gather/scatter index set: dst[comp][ds, dj, di] = sign * src[ss, sj, si]."""
+    """Gather/scatter index set: dst[comp][ds, dj, di] = sign * src[ss, sj, si].
+    Host-side numpy; baked as XLA constants at use."""
 
-    ds: jnp.ndarray
-    dj: jnp.ndarray
-    di: jnp.ndarray
-    ss: jnp.ndarray
-    sj: jnp.ndarray
-    si: jnp.ndarray
-    sign: jnp.ndarray
+    ds: np.ndarray
+    dj: np.ndarray
+    di: np.ndarray
+    ss: np.ndarray
+    sj: np.ndarray
+    si: np.ndarray
+    sign: np.ndarray
 
     @property
     def size(self) -> int:
@@ -76,18 +77,21 @@ class _SubTable:
 
 
 def _as_subtable(rows: np.ndarray) -> _SubTable:
+    # NOTE: tables stay host-side numpy; they are baked into XLA programs as
+    # constants at each use. Storing jnp arrays here would cache tracers when
+    # a table is first built inside a jit trace.
     rows = np.asarray(rows)
     if rows.size == 0:
         rows = np.zeros((0, 7))
     idx = rows[:, :6].astype(np.int32)
     return _SubTable(
-        ds=jnp.asarray(idx[:, 0]),
-        dj=jnp.asarray(idx[:, 1]),
-        di=jnp.asarray(idx[:, 2]),
-        ss=jnp.asarray(idx[:, 3]),
-        sj=jnp.asarray(idx[:, 4]),
-        si=jnp.asarray(idx[:, 5]),
-        sign=jnp.asarray(rows[:, 6].astype(np.float32)),
+        ds=idx[:, 0],
+        dj=idx[:, 1],
+        di=idx[:, 2],
+        ss=idx[:, 3],
+        sj=idx[:, 4],
+        si=idx[:, 5],
+        sign=rows[:, 6].astype(np.float32),
     )
 
 
