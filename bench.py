@@ -1,0 +1,77 @@
+"""Benchmark: FV3 dycore throughput at C192 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric: grid-points/s/chip = (6 * N^2 * npz) * steps / wall_time for the full
+dynamical-core step (acoustic loop + tracer transport + vertical remap) at
+C192, npz=79 — the reference's headline perf configuration
+(.jenkins/driver_configs/baroclinic_c192_6ranks.yaml). The reference publishes
+no absolute numbers (BASELINE.json.published is empty), so vs_baseline is
+reported against this framework's first recorded value when available
+(bench_baseline.json), else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+N_TILE = int(os.environ.get("BENCH_N_TILE", "192"))
+NPZ = int(os.environ.get("BENCH_NPZ", "79"))
+STEPS = int(os.environ.get("BENCH_STEPS", "5"))
+
+
+def main():
+    from pace_tpu.grid.generation import GridSpec, MetricTerms
+    from pace_tpu.grid.grid_data import GridData
+    from pace_tpu.models.fv3.dycore import DynamicalCore, DynamicalCoreConfig
+    from pace_tpu.models.fv3.state import DycoreState
+
+    spec = GridSpec(n_tile=N_TILE, npz=NPZ, layout=(1, 1))
+    mt = MetricTerms.generate(spec)
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float32)
+    cfg = DynamicalCoreConfig(
+        npz=NPZ, k_split=1, n_split=5, hydrostatic=True, nord=1, d4_bg=0.12
+    )
+    core = DynamicalCore(grid, mt.halo, cfg, timestep=200.0)
+    state = DycoreState.from_baroclinic_init(mt, perturbation=True, dtype=jnp.float32)
+
+    # warmup/compile
+    state = core.step_dynamics(state)
+    jax.block_until_ready(state.u)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state = core.step_dynamics(state)
+    jax.block_until_ready(state.u)
+    dt = time.perf_counter() - t0
+
+    gridpoints = 6 * N_TILE * N_TILE * NPZ
+    value = gridpoints * STEPS / dt
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        try:
+            base = json.load(open(baseline_path))["value"]
+            if base > 0:
+                vs = value / base
+        except Exception:
+            pass
+    print(
+        json.dumps(
+            {
+                "metric": f"C{N_TILE}_dycore_gridpoints_per_s_per_chip",
+                "value": round(value, 1),
+                "unit": "gridpoints/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

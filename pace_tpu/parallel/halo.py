@@ -404,8 +404,21 @@ class HaloExchanger:
     # ------------------------------------------------------------------
     # application (jit-compatible)
     # ------------------------------------------------------------------
+    @property
+    def _slabs(self):
+        """Slab-compiled fast path (TPU: dense slab copies, no scatters)."""
+        if not hasattr(self, "_slab_impl"):
+            from .halo_slabs import SlabHalo
+
+            self._slab_impl = SlabHalo(self)
+        return self._slab_impl
+
     def update_scalar(self, q, stagger: str = "center", fold: str = "x"):
         """Fill ghost cells of a scalar field ``q``: (S, ..., Y, X) -> same."""
+        return self._slabs.update_scalar(q, stagger=stagger, fold=fold)
+
+    def update_scalar_tables(self, q, stagger: str = "center", fold: str = "x"):
+        """Gather-table reference implementation (slow on TPU; oracle)."""
         tbl = self.scalar_table(stagger, fold)
         vals = _gather(q, tbl.ss, tbl.sj, tbl.si)
         return _scatter_set(q, tbl.ds, tbl.dj, tbl.di, vals)
@@ -422,6 +435,10 @@ class HaloExchanger:
         and on (fx, fy) interface fluxes (kind="cgrid") to make cross-edge
         fluxes single-valued — the exact-conservation guarantee.
         """
+        return self._slabs.sync_vector_interfaces(u, v, kind=kind)
+
+    def sync_vector_interfaces_tables(self, u, v, kind: str = "dgrid"):
+        """Gather-table reference implementation (slow on TPU; oracle)."""
         tbls = self.sync_tables(kind)
         out_u, out_v = u, v
         for (dst_comp, src_comp), tbl in tbls.items():
@@ -439,6 +456,10 @@ class HaloExchanger:
 
     def update_vector(self, u, v, kind: str = "dgrid", fold: str = "x"):
         """Fill ghost cells of a staggered vector pair with rotation/sign flips."""
+        return self._slabs.update_vector(u, v, kind=kind, fold=fold)
+
+    def update_vector_tables(self, u, v, kind: str = "dgrid", fold: str = "x"):
+        """Gather-table reference implementation (slow on TPU; oracle)."""
         tbls = self.vector_tables(kind, fold)
         out_u, out_v = u, v
         for (dst_comp, src_comp), tbl in tbls.items():
