@@ -80,9 +80,47 @@ def acoustic_loop(
     dt2 = 0.5 * dt
     ptop = grid.ptop
 
-    mfxd = mfyd = cxd = cyd = xfxd = yfxd = None
+    def substep(carry, _):
+        u, v, w, delp, pt, acc = carry
+        res = _one_substep(u, v, w, delp, pt, phis, grid, halo, config, dt, dt2, ptop)
+        acc_new = tuple(a + b for a, b in zip(acc, res[5:]))
+        return (res[0], res[1], res[2], res[3], res[4], acc_new), None
 
-    for _ in range(config.n_split):
+    # zero accumulators shaped like one substep's transport quantities
+    S = u.shape[0]
+    K = u.shape[1] if u.ndim == 4 else 1
+    zx = jnp.zeros_like(v)  # (S, K, Y, X+1) x-interface shaped
+    zy = jnp.zeros_like(u)  # (S, K, Y+1, X)
+    acc0 = (zx, zy, zx, zy, zx, zy)  # mfx, mfy, cx, cy, xfx, yfx
+    del S, K
+
+    if config.n_split == 1:
+        (u, v, w, delp, pt, acc), _ = substep((u, v, w, delp, pt, acc0), None)
+    else:
+        (u, v, w, delp, pt, acc), _ = jax.lax.scan(
+            substep, (u, v, w, delp, pt, acc0), None, length=config.n_split
+        )
+    mfxd, mfyd, cxd, cyd, xfxd, yfxd = acc
+
+    return AcousticResult(
+        u=u,
+        v=v,
+        w=w,
+        delp=delp,
+        pt=pt,
+        mfxd=mfxd,
+        mfyd=mfyd,
+        cxd=cxd,
+        cyd=cyd,
+        xfxd=xfxd,
+        yfxd=yfxd,
+    )
+
+
+def _one_substep(u, v, w, delp, pt, phis, grid, halo, config, dt, dt2, ptop):
+    """One acoustic substep; returns (u, v, w, delp, pt, mfx, mfy, cx, cy,
+    xfx, yfx)."""
+    if True:  # noqa: keep original indentation of the substep body
         u_x, v_x = halo.update_vector(u, v, kind="dgrid", fold="x")
         u_y, v_y = halo.update_vector(u, v, kind="dgrid", fold="y")
         delp_x = halo.update_scalar(delp, fold="x")
@@ -137,29 +175,4 @@ def acoustic_loop(
         u, v = halo.sync_vector_interfaces(u, v, kind="dgrid")
         delp, pt = delp_h, pt_h
 
-        # --- accumulate transport quantities
-        if mfxd is None:
-            mfxd, mfyd = ds.mfx, ds.mfy
-            cxd, cyd = ds.crx, ds.cry
-            xfxd, yfxd = ds.xfx, ds.yfx
-        else:
-            mfxd = mfxd + ds.mfx
-            mfyd = mfyd + ds.mfy
-            cxd = cxd + ds.crx
-            cyd = cyd + ds.cry
-            xfxd = xfxd + ds.xfx
-            yfxd = yfxd + ds.yfx
-
-    return AcousticResult(
-        u=u,
-        v=v,
-        w=w,
-        delp=delp,
-        pt=pt,
-        mfxd=mfxd,
-        mfyd=mfyd,
-        cxd=cxd,
-        cyd=cyd,
-        xfxd=xfxd,
-        yfxd=yfxd,
-    )
+    return (u, v, w, delp, pt, ds.mfx, ds.mfy, ds.crx, ds.cry, ds.xfx, ds.yfx)
