@@ -1,0 +1,147 @@
+"""DriverConfig: the single YAML-backed configuration tree.
+
+TPU-native analog of the reference ``DriverConfig`` (driver/pace/driver/
+driver.py:52-337): top-level fields (nx_tile, nz, layout, dt_atmos, ...) are
+derived INTO the dycore config and forbidden inside it; pluggable
+``{type, config}`` registries select initialization, grid and diagnostics;
+parsing is strict (unknown keys raise — the dacite-strict analog via
+pace_tpu.utils.registry.from_dict).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Mapping, Optional, Tuple
+
+import yaml
+
+from ..models.fv3.dycore import DynamicalCoreConfig
+from ..utils.registry import ConfigError, from_dict
+from .diagnostics import DiagnosticsConfig
+from .grid import GridConfig
+from .initialization import InitializationConfig
+from .performance import PerformanceConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SafetyCheckConfig:
+    variable: str
+    minimum_value: Optional[float] = None
+    maximum_value: Optional[float] = None
+    compute_domain_only: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class RestartConfig:
+    """Reference analog: driver/pace/driver/driver.py:340-383."""
+
+    save_restart: bool = False
+    intermediate_restart: Tuple[int, ...] = ()
+    save_intermediate_restart: bool = False
+    path: str = "RESTART"
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsEnableConfig:
+    schemes: Tuple[str, ...] = ()
+
+
+@dataclasses.dataclass
+class DriverConfig:
+    """Reference field parity: driver/pace/driver/driver.py:52-305."""
+
+    stencil_config: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    initialization: InitializationConfig = dataclasses.field(
+        default_factory=InitializationConfig
+    )
+    nx_tile: int = 12
+    nz: int = 79
+    layout: Tuple[int, int] = (1, 1)
+    dt_atmos: float = 225.0
+    diagnostics_config: DiagnosticsConfig = dataclasses.field(
+        default_factory=DiagnosticsConfig
+    )
+    performance_config: PerformanceConfig = dataclasses.field(
+        default_factory=PerformanceConfig
+    )
+    dycore_config: DynamicalCoreConfig = dataclasses.field(
+        default_factory=DynamicalCoreConfig
+    )
+    physics_config: PhysicsEnableConfig = dataclasses.field(
+        default_factory=PhysicsEnableConfig
+    )
+    grid_config: GridConfig = dataclasses.field(default_factory=GridConfig)
+    restart_config: RestartConfig = dataclasses.field(default_factory=RestartConfig)
+    safety_checks: List[SafetyCheckConfig] = dataclasses.field(
+        default_factory=lambda: [
+            # reference registers ua/va in [-200,200], delp in [-1,4000],
+            # pt in [100,380] (driver.py:556-561); our prognostic pt is
+            # virtual POTENTIAL temperature and layer counts vary, so the
+            # default bounds are correspondingly wider. NaN checks always run.
+            SafetyCheckConfig("u", -300.0, 300.0),
+            SafetyCheckConfig("v", -300.0, 300.0),
+            SafetyCheckConfig("delp", -1.0, 60000.0),
+            SafetyCheckConfig("pt", 100.0, 10000.0),
+        ]
+    )
+    days: int = 0
+    hours: int = 0
+    minutes: int = 0
+    seconds: int = 0
+    pair_debug: bool = False
+    precision: int = 32
+
+    @property
+    def total_time_seconds(self) -> float:
+        return (
+            self.days * 86400 + self.hours * 3600 + self.minutes * 60 + self.seconds
+        )
+
+    @property
+    def n_timesteps(self) -> int:
+        """Reference analog: driver.py n_timesteps property."""
+        return int(self.total_time_seconds / self.dt_atmos)
+
+    @classmethod
+    def from_dict(cls, data: Mapping[str, Any]) -> "DriverConfig":
+        data = dict(data)
+        # reference behavior (driver.py:236-268): npx/npy/npz/ntiles/layout
+        # are derived into the dycore config and forbidden inside it
+        dyc = dict(data.get("dycore_config", {}))
+        for forbidden in ("npx", "npy", "npz", "ntiles", "layout", "dt_atmos"):
+            if forbidden in dyc:
+                raise ConfigError(
+                    f"dycore_config must not set {forbidden}; it is derived "
+                    "from the top-level config"
+                )
+        dyc["npz"] = data.get("nz", 79)
+        data["dycore_config"] = dyc
+        return from_dict(cls, data)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "DriverConfig":
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    def write_for_restart(self, path: str, start_time_seconds: float) -> None:
+        """Write a restart.yaml pointing initialization at the restart files
+        (reference DriverConfig.write_for_restart, driver.py:307-337)."""
+        import copy
+        import os
+
+        raw = dataclasses.asdict(self)
+        raw["initialization"] = {
+            "type": "restart",
+            "config": {"path": os.path.abspath(path), "start_time_seconds": start_time_seconds},
+        }
+        del copy
+        with open(os.path.join(path, "restart.yaml"), "w") as f:
+            yaml.safe_dump(_jsonify(raw), f)
+
+
+def _jsonify(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonify(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonify(v) for v in obj]
+    return obj

@@ -1,0 +1,136 @@
+"""Driver: builds grid, state, dycore (and physics), runs the timestep loop.
+
+TPU-native analog of the reference ``Driver`` (driver/pace/driver/driver.py:
+386-766: __init__ builds communicator/factories/grid/state/dycore/physics/
+diagnostics; step_all runs the orchestrated mainloop with per-step callbacks
+for diagnostics, safety checks, perf collection and intermediate restarts;
+cleanup writes final outputs). Here the whole timestep is ONE jitted XLA
+program (the DaCe-orchestration analog, SURVEY.md §2.5) and the per-step
+Python callbacks run between device steps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from ..models.fv3.dycore import DynamicalCore
+from ..utils.logging import get_logger
+from .config import DriverConfig
+from .performance import Timer
+from .restart import save_restart
+from .safety_checks import SafetyChecker
+
+logger = get_logger()
+
+
+class Driver:
+    def __init__(self, config: DriverConfig):
+        self.config = config
+        dtype = jnp.float64 if config.precision == 64 else jnp.float32
+
+        logger.info("generating grid (C%d, nz=%d)", config.nx_tile, config.nz)
+        self.metric_terms = config.grid_config.get_metric_terms(
+            config.nx_tile, config.nz, config.layout
+        )
+        from ..grid.grid_data import GridData
+
+        self.grid_data = GridData.from_metric_terms(self.metric_terms, dtype=dtype)
+        self.halo = self.metric_terms.halo
+
+        logger.info("initializing state (%s)", config.initialization.type)
+        self.state = config.initialization.get_dycore_state(
+            self.metric_terms, dtype
+        )
+
+        self.dycore = DynamicalCore(
+            self.grid_data, self.halo, config.dycore_config, config.dt_atmos
+        )
+
+        self.physics = None
+        if config.physics_config.schemes:
+            from ..models.shield.physics import Physics
+
+            self.physics = Physics(
+                self.grid_data, config.physics_config.schemes, config.dt_atmos
+            )
+
+        self.diagnostics = config.diagnostics_config.diagnostics_factory(
+            self.metric_terms, self.metric_terms.spec.n_halo
+        )
+        self.diagnostics.store_grid(self.metric_terms)
+
+        self.performance = config.performance_config.build()
+        self.timer = Timer()
+
+        self.safety_checker = SafetyChecker()
+        for chk in config.safety_checks:
+            self.safety_checker.register_variable(
+                chk.variable,
+                chk.minimum_value,
+                chk.maximum_value,
+                chk.compute_domain_only,
+            )
+
+        self.time_seconds = 0.0
+        self._step_count = 0
+
+    # ------------------------------------------------------------------
+    def step_all(self):
+        import time as _time
+
+        n = self.config.n_timesteps
+        logger.info("running %d steps of dt=%s s", n, self.config.dt_atmos)
+        if self.config.diagnostics_config.output_initial_state:
+            self.diagnostics.store(self.time_seconds, self.state)
+        for _ in range(n):
+            t0 = _time.perf_counter()
+            with self.timer.clock("mainloop"):
+                self.state = self.dycore.step_dynamics(self.state)
+                if self.physics is not None:
+                    self.state = self.physics(self.state)
+            # block so per-step timings are honest
+            self.state.u.block_until_ready()
+            self.performance.record_step(_time.perf_counter() - t0)
+            self.time_seconds += self.config.dt_atmos
+            self._step_count += 1
+            self._end_of_step_actions()
+
+    def _end_of_step_actions(self):
+        """Reference _end_of_step_actions analog (driver.py:593-625)."""
+        cfg = self.config
+        if self._step_count % cfg.diagnostics_config.output_frequency == 0:
+            self.diagnostics.store(self.time_seconds, self.state)
+        self.safety_checker.check_state(
+            self.state, n_halo=self.metric_terms.spec.n_halo
+        )
+        if (
+            cfg.restart_config.save_intermediate_restart
+            and self._step_count in cfg.restart_config.intermediate_restart
+        ):
+            path = os.path.join(
+                cfg.restart_config.path, f"step_{self._step_count}"
+            )
+            save_restart(path, self.state, self.time_seconds)
+            cfg.write_for_restart(path, self.time_seconds)
+
+    def cleanup(self):
+        """Reference cleanup analog (driver.py:688-713)."""
+        cfg = self.config
+        if cfg.restart_config.save_restart:
+            os.makedirs(cfg.restart_config.path, exist_ok=True)
+            save_restart(cfg.restart_config.path, self.state, self.time_seconds)
+            cfg.write_for_restart(cfg.restart_config.path, self.time_seconds)
+        self.diagnostics.cleanup()
+        if cfg.performance_config.collect_performance:
+            report = self.performance.report(cfg.dt_atmos)
+            logger.info(
+                "mainloop mean %.3f s/step, SYPD=%s",
+                report["mainloop_mean_seconds"],
+                report["SYPD"],
+            )
+            self.performance.write_json(
+                f"{cfg.performance_config.experiment_name}_perf.json",
+                cfg.dt_atmos,
+            )

@@ -57,3 +57,7 @@ pace_log = _make_logger()
 
 def set_log_level(level_name: str) -> None:
     pace_log.setLevel(AVAILABLE_LOG_LEVELS[level_name.lower()])
+
+
+def get_logger() -> logging.Logger:
+    return pace_log

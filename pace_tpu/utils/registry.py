@@ -39,11 +39,19 @@ def from_dict(cls: Type, data: Mapping[str, Any]):
             f"unknown key(s) {sorted(unknown)} for {cls.__name__}; "
             f"valid keys: {sorted(field_map)}"
         )
+    # resolve postponed (string) annotations to real types
+    import typing
+
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
     kwargs: Dict[str, Any] = {}
     for name, field in field_map.items():
         if name not in data:
             continue
-        kwargs[name] = _convert(field.type, data[name], f"{cls.__name__}.{name}")
+        tp = hints.get(name, field.type)
+        kwargs[name] = _convert(tp, data[name], f"{cls.__name__}.{name}")
     return cls(**kwargs)
 
 
