@@ -1,0 +1,146 @@
+"""Physics driver + dycore coupling.
+
+TPU-native analog of ``pySHiELD.Physics`` (reference construction at
+driver/pace/driver/driver.py:509-514, call at :653) together with
+``pySHiELD.update.update_atmos_state.{DycoreToPhysics, UpdateAtmosphereState}``
+(driver.py:519-537, 646-661): copy/transform dycore state to physics
+variables, run the scheme(s), apply tendencies back. The reference registry
+key "GFS_microphysics" is preserved (reference PHYSICS_PACKAGES,
+translate_driver.py:13,48).
+
+Coupling math: the dycore's prognostic pt is virtual potential temperature;
+physics operates on temperature T = pt * pkz / (1 + zvir qv). Moisture and
+temperature updates are applied back preserving that relation. Wind
+tendencies (future PBL schemes) flow through ``apply_wind_tendencies`` which
+projects A-grid Cartesian tendency vectors onto the D-grid covariant points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ... import constants
+from ..fv3.state import DycoreState, TRACER_NAMES
+from .microphysics import MicrophysicsConfig, microphysics_step
+
+PHYSICS_PACKAGES = ("GFS_microphysics",)
+
+_IQ = {name: i for i, name in enumerate(TRACER_NAMES)}
+
+
+@dataclasses.dataclass
+class PhysicsState:
+    """Physics-side state container (reference pySHiELD.PhysicsState analog,
+    docs/physics/state.rst): dycore-copied fields on the A grid."""
+
+    qvapor: jnp.ndarray
+    qliquid: jnp.ndarray
+    qice: jnp.ndarray
+    qrain: jnp.ndarray
+    qsnow: jnp.ndarray
+    qgraupel: jnp.ndarray
+    pt: jnp.ndarray  # temperature [K]
+    delp: jnp.ndarray
+    p_mid: jnp.ndarray
+    precip: jnp.ndarray | None = None
+
+
+def dycore_to_physics(state: DycoreState) -> PhysicsState:
+    """Reference DycoreToPhysics analog: copy/transform dycore -> physics."""
+    qv = state.q[:, _IQ["qvapor"]]
+    pkz = state.pkz
+    t = state.pt * pkz / (1.0 + constants.ZVIR * qv)
+    p_mid = 0.5 * (state.pe[..., 1:, :, :] + state.pe[..., :-1, :, :])
+    return PhysicsState(
+        qvapor=qv,
+        qliquid=state.q[:, _IQ["qliquid"]],
+        qice=state.q[:, _IQ["qice"]],
+        qrain=state.q[:, _IQ["qrain"]],
+        qsnow=state.q[:, _IQ["qsnow"]],
+        qgraupel=state.q[:, _IQ["qgraupel"]],
+        pt=t,
+        delp=state.delp,
+        p_mid=p_mid,
+    )
+
+
+def update_atmosphere_state(state: DycoreState, phy: PhysicsState) -> DycoreState:
+    """Reference UpdateAtmosphereState analog: apply physics updates back to
+    the dycore state (moisture + temperature -> theta_v)."""
+    q = state.q
+    for name, arr in (
+        ("qvapor", phy.qvapor),
+        ("qliquid", phy.qliquid),
+        ("qice", phy.qice),
+        ("qrain", phy.qrain),
+        ("qsnow", phy.qsnow),
+        ("qgraupel", phy.qgraupel),
+    ):
+        q = q.at[:, _IQ[name]].set(arr)
+    pt_new = phy.pt * (1.0 + constants.ZVIR * phy.qvapor) / state.pkz
+    return dataclasses.replace(state, q=q, pt=pt_new)
+
+
+class Physics:
+    """Reference ``pySHiELD.Physics`` analog; currently GFS_microphysics only
+    (matching the reference's integration status, docs/physics/index.rst:5-8)."""
+
+    def __init__(self, grid, schemes, timestep: float, config=None):
+        for s in schemes:
+            if s not in PHYSICS_PACKAGES:
+                raise ValueError(
+                    f"unknown physics scheme {s!r}; available: {PHYSICS_PACKAGES}"
+                )
+        self.schemes = tuple(schemes)
+        self.timestep = float(timestep)
+        self.config = config or MicrophysicsConfig()
+        self._call = jax.jit(self._call_impl)
+
+    def __call__(self, state: DycoreState) -> DycoreState:
+        return self._call(state)
+
+    def _call_impl(self, state: DycoreState) -> DycoreState:
+        if "GFS_microphysics" not in self.schemes:
+            return state
+        phy = dycore_to_physics(state)
+        qv, ql, qi, qr, qs, qg, t, precip = microphysics_step(
+            phy.qvapor,
+            phy.qliquid,
+            phy.qice,
+            phy.qrain,
+            phy.qsnow,
+            phy.qgraupel,
+            phy.pt,
+            phy.p_mid,
+            phy.delp,
+            self.timestep,
+            self.config,
+        )
+        phy = dataclasses.replace(
+            phy, qvapor=qv, qliquid=ql, qice=qi, qrain=qr, qsnow=qs,
+            qgraupel=qg, pt=t, precip=precip,
+        )
+        return update_atmosphere_state(state, phy)
+
+
+def apply_wind_tendencies(u, v, u_dt, v_dt, grid, dt: float):
+    """Project A-grid Cartesian-vector wind tendencies onto the D-grid points
+    (reference UpdateAtmosphereState A->D wind-tendency remap analog).
+
+    u_dt/v_dt are CONTRAVARIANT A-grid tendencies; the Cartesian tendency
+    vector is interpolated to each staggered point and projected on its basis.
+    """
+    from ...ops.d2a2c import centers_to_x_ifaces, centers_to_y_ifaces
+    from ...ops.stencil_utils import bcast_k
+
+    du = jnp.expand_dims(u_dt, -3)
+    dv = jnp.expand_dims(v_dt, -3)
+    vcart = du * bcast_k(grid.ec1, du) + dv * bcast_k(grid.ec2, dv)
+    cy = centers_to_y_ifaces(vcart)  # (.., 3, Y+1, X)
+    tend_u = jnp.sum(cy * bcast_k(grid.es1, cy), axis=-3)
+    cx = centers_to_x_ifaces(vcart)  # (.., 3, Y, X+1)
+    tend_v = jnp.sum(cx * bcast_k(grid.ew2, cx), axis=-3)
+    return u + dt * tend_u, v + dt * tend_v
