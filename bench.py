@@ -19,6 +19,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the analog of the reference's distributed
+# DaCe build cache (SURVEY.md §2.5) — compile once, reuse across runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 N_TILE = int(os.environ.get("BENCH_N_TILE", "192"))
 NPZ = int(os.environ.get("BENCH_NPZ", "79"))
 STEPS = int(os.environ.get("BENCH_STEPS", "5"))
