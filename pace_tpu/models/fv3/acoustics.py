@@ -21,6 +21,7 @@ import jax
 
 import jax.numpy as jnp
 
+from ... import constants
 from ...ops.c_sw import c_sw
 from ...ops.d_sw import DSWConfig, DSWResult, d_sw
 from ...ops.pgrad import hydrostatic_interfaces, one_grad_p, p_grad_c
@@ -48,6 +49,7 @@ class AcousticResult:
     w: jnp.ndarray | None
     delp: jnp.ndarray
     pt: jnp.ndarray
+    delz: jnp.ndarray | None
     # accumulated over the n_split substeps, for tracer transport
     mfxd: jnp.ndarray
     mfyd: jnp.ndarray
@@ -68,37 +70,40 @@ def acoustic_loop(
     halo,
     config: AcousticConfig,
     dt_atmos_k: float,
+    delz=None,
 ) -> AcousticResult:
     """Run ``n_split`` acoustic substeps of length dt_atmos_k / n_split.
 
     Inputs are raw stacked arrays (S, [K,] Y, X); ``pt`` is virtual potential
-    temperature, ``phis`` surface geopotential (S, Y, X).
+    temperature, ``phis`` surface geopotential (S, Y, X). Nonhydrostatic mode
+    additionally carries ``w`` and ``delz``.
     """
-    if not config.hydrostatic:
-        raise NotImplementedError("nonhydrostatic path lives in models.fv3.nonhydro")
+    if not config.hydrostatic and (w is None or delz is None):
+        raise ValueError("nonhydrostatic mode requires w and delz")
     dt = dt_atmos_k / config.n_split
     dt2 = 0.5 * dt
     ptop = grid.ptop
 
     def substep(carry, _):
-        u, v, w, delp, pt, acc = carry
-        res = _one_substep(u, v, w, delp, pt, phis, grid, halo, config, dt, dt2, ptop)
-        acc_new = tuple(a + b for a, b in zip(acc, res[5:]))
-        return (res[0], res[1], res[2], res[3], res[4], acc_new), None
+        u, v, w, delp, pt, delz, acc = carry
+        res = _one_substep(
+            u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, ptop
+        )
+        acc_new = tuple(a + b for a, b in zip(acc, res[6:]))
+        return (res[0], res[1], res[2], res[3], res[4], res[5], acc_new), None
 
     # zero accumulators shaped like one substep's transport quantities
-    S = u.shape[0]
-    K = u.shape[1] if u.ndim == 4 else 1
     zx = jnp.zeros_like(v)  # (S, K, Y, X+1) x-interface shaped
     zy = jnp.zeros_like(u)  # (S, K, Y+1, X)
     acc0 = (zx, zy, zx, zy, zx, zy)  # mfx, mfy, cx, cy, xfx, yfx
-    del S, K
 
     if config.n_split == 1:
-        (u, v, w, delp, pt, acc), _ = substep((u, v, w, delp, pt, acc0), None)
+        (u, v, w, delp, pt, delz, acc), _ = substep(
+            (u, v, w, delp, pt, delz, acc0), None
+        )
     else:
-        (u, v, w, delp, pt, acc), _ = jax.lax.scan(
-            substep, (u, v, w, delp, pt, acc0), None, length=config.n_split
+        (u, v, w, delp, pt, delz, acc), _ = jax.lax.scan(
+            substep, (u, v, w, delp, pt, delz, acc0), None, length=config.n_split
         )
     mfxd, mfyd, cxd, cyd, xfxd, yfxd = acc
 
@@ -108,6 +113,7 @@ def acoustic_loop(
         w=w,
         delp=delp,
         pt=pt,
+        delz=delz,
         mfxd=mfxd,
         mfyd=mfyd,
         cxd=cxd,
@@ -117,62 +123,117 @@ def acoustic_loop(
     )
 
 
-def _one_substep(u, v, w, delp, pt, phis, grid, halo, config, dt, dt2, ptop):
-    """One acoustic substep; returns (u, v, w, delp, pt, mfx, mfy, cx, cy,
-    xfx, yfx)."""
-    if True:  # noqa: keep original indentation of the substep body
-        u_x, v_x = halo.update_vector(u, v, kind="dgrid", fold="x")
-        u_y, v_y = halo.update_vector(u, v, kind="dgrid", fold="y")
-        delp_x = halo.update_scalar(delp, fold="x")
-        delp_y = halo.update_scalar(delp, fold="y")
-        pt_x = halo.update_scalar(pt, fold="x")
-        pt_y = halo.update_scalar(pt, fold="y")
-        w_x = w_y = None
-        if w is not None:
-            w_x = halo.update_scalar(w, fold="x")
-            w_y = halo.update_scalar(w, fold="y")
+def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, ptop):
+    """One acoustic substep; returns (u, v, w, delp, pt, delz, mfx, mfy, cx,
+    cy, xfx, yfx)."""
+    hydro = config.hydrostatic
+    u_x, v_x = halo.update_vector(u, v, kind="dgrid", fold="x")
+    u_y, v_y = halo.update_vector(u, v, kind="dgrid", fold="y")
+    delp_x = halo.update_scalar(delp, fold="x")
+    delp_y = halo.update_scalar(delp, fold="y")
+    pt_x = halo.update_scalar(pt, fold="x")
+    pt_y = halo.update_scalar(pt, fold="y")
+    w_x = w_y = None
+    if w is not None:
+        w_x = halo.update_scalar(w, fold="x")
+        w_y = halo.update_scalar(w, fold="y")
+    if delz is not None:
+        delz = halo.update_scalar(delz, fold="x")
 
-        # --- C-grid half step + its pressure gradient
-        cg = c_sw(u_y, v_x, delp_x, pt_x, grid, halo, dt2)
+    # --- C-grid half step + its pressure gradient
+    cg = c_sw(u_y, v_x, delp_x, pt_x, grid, halo, dt2)
+    if hydro:
         _pe, _peln, pkc, _pkz, gz_c = hydrostatic_interfaces(
             cg.delpc, cg.ptc, phis, ptop
         )
         uc, vc = p_grad_c(cg.uc, cg.vc, pkc, gz_c, grid, dt2)
-        uc, vc = halo.sync_vector_interfaces(uc, vc, kind="cgrid")
-        uc_x, vc_x = halo.update_vector(uc, vc, kind="cgrid", fold="x")
-        uc_y, vc_y = halo.update_vector(uc, vc, kind="cgrid", fold="y")
+    else:
+        from ...ops.nonhydro import heights_from_delz, riem_solver_c
 
-        # --- D-grid full step
-        ds: DSWResult = d_sw(
-            u_y,
-            v_x,
-            w_x,
-            delp_x,
-            delp_y,
-            pt_x,
-            pt_y,
-            w_x,
-            w_y,
-            uc_x,
-            vc_x,
-            uc_y,
-            vc_y,
-            cg.divg_d,
-            grid,
-            halo,
-            dt,
-            config.d_sw,
+        _pe, _peln, _pk, pkz_h, _gz = hydrostatic_interfaces(
+            cg.delpc, cg.ptc, phis, ptop
         )
-        u, v, delp, pt = ds.u, ds.v, ds.delp, ds.pt
-        if w is not None:
-            w = ds.w
+        ws0 = jnp.zeros_like(phis)
+        pe_full_c, _delz_c = riem_solver_c(
+            w_x, delz, cg.ptc, cg.delpc, pkz_h, ws0, dt2, ptop
+        )
+        gz_c = heights_from_delz(delz, phis) * constants.GRAV
+        # contour PGF with full pressure in Pa (reference p_grad_c nonhydro)
+        uc, vc = p_grad_c(cg.uc, cg.vc, pe_full_c, gz_c, grid, dt2)
+    uc, vc = halo.sync_vector_interfaces(uc, vc, kind="cgrid")
+    uc_x, vc_x = halo.update_vector(uc, vc, kind="cgrid", fold="x")
+    uc_y, vc_y = halo.update_vector(uc, vc, kind="cgrid", fold="y")
 
+    # --- D-grid full step
+    ds: DSWResult = d_sw(
+        u_y,
+        v_x,
+        w_x,
+        delp_x,
+        delp_y,
+        pt_x,
+        pt_y,
+        w_x,
+        w_y,
+        uc_x,
+        vc_x,
+        uc_y,
+        vc_y,
+        cg.divg_d,
+        grid,
+        halo,
+        dt,
+        config.d_sw,
+    )
+    u, v, delp, pt = ds.u, ds.v, ds.delp, ds.pt
+    if w is not None:
+        w = ds.w
+
+    delp_h = halo.update_scalar(delp, fold="x")
+    pt_h = halo.update_scalar(pt, fold="x")
+    if hydro:
         # --- hydrostatic pressure-gradient (forward-backward: new delp/pt)
-        delp_h = halo.update_scalar(delp, fold="x")
-        pt_h = halo.update_scalar(pt, fold="x")
         _pe, _peln, pk, _pkz, gz = hydrostatic_interfaces(delp_h, pt_h, phis, ptop)
         u, v = one_grad_p(u, v, pk, gz, grid, dt)
-        u, v = halo.sync_vector_interfaces(u, v, kind="dgrid")
-        delp, pt = delp_h, pt_h
+    else:
+        from ...ops.nonhydro import (
+            heights_from_delz,
+            nh_p_grad,
+            riem_solver3,
+            updatedz_d,
+        )
 
-    return (u, v, w, delp, pt, ds.mfx, ds.mfy, ds.crx, ds.cry, ds.xfx, ds.yfx)
+        # advect interface heights with the substep fluxes, derive the
+        # terrain-following surface w, then the implicit vertical solve
+        # (phis exchanged per fold so corner-slot surface heights match the
+        # fold of each sweep)
+        delz_y = halo.update_scalar(delz, fold="y")
+        phis_x = halo.update_scalar(phis, fold="x")
+        phis_y = halo.update_scalar(phis, fold="y")
+        zh = heights_from_delz(delz, phis_x)
+        zh_y = heights_from_delz(delz_y, phis_y)
+        zh_adv = updatedz_d(zh, zh_y, ds.crx, ds.cry, ds.xfx, ds.yfx, grid, dt)
+        zs = zh[..., -1:, :, :]
+        ws = (zh_adv[..., -1:, :, :] - zs)[..., 0, :, :] / dt
+        zh_adv = jnp.concatenate([zh_adv[..., :-1, :, :], zs], axis=-3)
+        delz = zh_adv[..., 1:, :, :] - zh_adv[..., :-1, :, :]
+
+        _pe, _peln, pk_h, pkz_h, _gz = hydrostatic_interfaces(
+            delp_h, pt_h, phis, ptop
+        )
+        w, delz, pp = riem_solver3(w, delz, pt_h, delp_h, pkz_h, ws, dt, ptop)
+        # the solver's halo columns used garbage ws (fluxes are only valid on
+        # the domain); refresh ghosts with owner values before the a2b reads
+        w = halo.update_scalar(w, fold="x")
+        delz = halo.update_scalar(delz, fold="x")
+        pp = halo.update_scalar(pp, fold="x")
+        gz_if = heights_from_delz(delz, phis_x) * constants.GRAV
+        u, v = nh_p_grad(u, v, pk_h, gz_if, pp, delp_h, grid, dt)
+    u, v = halo.sync_vector_interfaces(u, v, kind="dgrid")
+    delp, pt = delp_h, pt_h
+
+    return (
+        u, v, w, delp, pt, delz,
+        ds.mfx, ds.mfy, ds.crx, ds.cry, ds.xfx, ds.yfx,
+    )
+

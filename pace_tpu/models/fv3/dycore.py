@@ -119,14 +119,18 @@ class DynamicalCore:
 
         u, v, w = state.u, state.v, state.w
         delp, pt, q = state.delp, state.pt, state.q
+        delz = state.delz
         phis = state.phis
+        if cfg.hydrostatic:
+            w = None
+            delz = None
 
         for _ in range(cfg.k_split):
             delp0 = delp
             res = acoustic_loop(
-                u, v, w, delp, pt, phis, grid, halo, acfg, dt_k
+                u, v, w, delp, pt, phis, grid, halo, acfg, dt_k, delz=delz
             )
-            u, v, w = res.u, res.v, res.w
+            u, v, w, delz = res.u, res.v, res.w, res.delz
 
             # --- tracer transport through the accumulated mass fluxes
             q, dp_traced = advect_tracers(
@@ -146,8 +150,8 @@ class DynamicalCore:
             delp, pt = res.delp, res.pt
 
             # --- vertical remap back to the hybrid reference coordinate
-            u, v, w, delp, pt, q, pe, peln, pk, pkz, ps = self._remap(
-                u, v, w, delp, pt, q
+            u, v, w, delz, delp, pt, q, pe, peln, pk, pkz, ps = self._remap(
+                u, v, w, delz, delp, pt, q
             )
 
         return dataclasses.replace(
@@ -155,6 +159,7 @@ class DynamicalCore:
             u=u,
             v=v,
             w=w,
+            delz=delz,
             delp=delp,
             pt=pt,
             q=q,
@@ -169,7 +174,7 @@ class DynamicalCore:
             cyd=res.cyd,
         )
 
-    def _remap(self, u, v, w, delp, pt, q):
+    def _remap(self, u, v, w, delz, delp, pt, q):
         """Lagrangian -> Eulerian remap of all state (reference ``Remapping``
         stage; LagrangianToEulerian per SURVEY.md §2.3)."""
         grid = self.grid
@@ -187,6 +192,13 @@ class DynamicalCore:
         pt = remap_field(pt, pe1, pe2, monotone)
         if w is not None:
             w = remap_field(w, pe1, pe2, monotone)
+        if delz is not None:
+            # remap the specific volume (delz per unit mass) conservatively,
+            # then rebuild the extensive thickness on the new layers
+            dp1 = pe1[..., 1:, :, :] - pe1[..., :-1, :, :]
+            sv = remap_field(delz / dp1, pe1, pe2, monotone)
+            dp2_l = pe2[..., 1:, :, :] - pe2[..., :-1, :, :]
+            delz = sv * dp2_l
         q = remap_field(q, pe1[:, None], pe2[:, None], monotone)
 
         # winds: remap on interface-averaged pressure columns
@@ -200,7 +212,19 @@ class DynamicalCore:
         delp = pe2[..., 1:, :, :] - pe2[..., :-1, :, :]
         peln = jnp.log(pe2)
         pk = (pe2 / constants.P_REF) ** constants.KAPPA
-        pkz = (pk[..., 1:, :, :] - pk[..., :-1, :, :]) / (
-            constants.KAPPA * (peln[..., 1:, :, :] - peln[..., :-1, :, :])
-        )
-        return u, v, w, delp, pt, q, pe2, peln, pk, pkz, ps
+        if delz is None:
+            pkz = (pk[..., 1:, :, :] - pk[..., :-1, :, :]) / (
+                constants.KAPPA * (peln[..., 1:, :, :] - peln[..., :-1, :, :])
+            )
+        else:
+            # nonhydrostatic: layer-mean Exner from the gas law
+            # p^(1-kappa) = Rd * dm * g * theta_v * P_REF^-kappa / (-delz)
+            x = (
+                constants.RDGAS
+                * (delp / constants.GRAV)
+                * pt
+                / (constants.P_REF**constants.KAPPA * (-delz))
+            )
+            p_full = x ** (1.0 / (1.0 - constants.KAPPA))
+            pkz = (p_full / constants.P_REF) ** constants.KAPPA
+        return u, v, w, delz, delp, pt, q, pe2, peln, pk, pkz, ps

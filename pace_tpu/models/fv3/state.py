@@ -122,6 +122,11 @@ class DycoreState:
         pkz = (pk[:, 1:] - pk[:, :-1]) / (
             constants.KAPPA * (peln[:, 1:] - peln[:, :-1])
         )
+        # nonhydrostatic fields: hydrostatically-balanced layer depths, w=0
+        t_v = st["pt"] * pkz
+        delz = (
+            -constants.RDGAS / constants.GRAV * t_v * (peln[:, 1:] - peln[:, :-1])
+        )
         j = lambda a: jnp.asarray(a, dtype=dtype)  # noqa: E731
         return cls(
             u=j(st["u"]),
@@ -129,8 +134,8 @@ class DycoreState:
             delp=j(st["delp"]),
             pt=j(st["pt"]),
             q=j(q),
-            w=None,
-            delz=None,
+            w=j(np.zeros_like(st["delp"])),
+            delz=j(delz),
             phis=j(st["phis"]),
             ps=j(st["ps"]),
             pe=j(pe),

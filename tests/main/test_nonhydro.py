@@ -1,0 +1,98 @@
+"""Nonhydrostatic solver tests: tridiagonal correctness, sim1 equilibrium,
+and full nonhydrostatic dycore stability on the baroclinic case."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pace_tpu import constants
+from pace_tpu.ops.nonhydro import sim1_solver, tridiagonal_solve
+
+
+def test_tridiagonal_solve_random():
+    rng = np.random.RandomState(0)
+    K, Y, X = 12, 3, 2
+    a = rng.rand(1, K, Y, X) * 0.3
+    c = rng.rand(1, K, Y, X) * 0.3
+    b = 1.0 + a + c  # diagonally dominant
+    a[:, 0] = 0.0
+    c[:, -1] = 0.0
+    x_true = rng.rand(1, K, Y, X)
+    d = b * x_true
+    d[:, 1:] += a[:, 1:] * x_true[:, :-1]
+    d[:, :-1] += c[:, :-1] * x_true[:, 1:]
+    x = np.asarray(
+        tridiagonal_solve(*(jnp.asarray(t) for t in (a, b, c, d)))
+    )
+    np.testing.assert_allclose(x, x_true, rtol=1e-10)
+
+
+PTOP = 100.0
+
+
+def _balanced_column(K=25, Y=2, X=2):
+    """Hydrostatically balanced isothermal-ish column."""
+    ptop = PTOP
+    pe = np.linspace(ptop, 1e5, K + 1)[None, :, None, None] * np.ones((1, 1, Y, X))
+    delp = np.diff(pe, axis=1)
+    peln = np.log(pe)
+    pk = (pe / constants.P_REF) ** constants.KAPPA
+    pkz = (pk[:, 1:] - pk[:, :-1]) / (constants.KAPPA * np.diff(peln, axis=1))
+    t = np.full_like(delp, 260.0)
+    pt = t / pkz
+    delz = -constants.RDGAS / constants.GRAV * t * np.diff(peln, axis=1)
+    w = np.zeros_like(delp)
+    ws = np.zeros((1, Y, X))
+    return map(jnp.asarray, (w, delz, pt, delp, pkz, ws))
+
+
+def test_sim1_balanced_column_stays_at_rest():
+    w, delz, pt, delp, pkz, ws = _balanced_column()
+    w2, delz2, pp = sim1_solver(w, delz, pt, delp, pkz, ws, dt=10.0, ptop=PTOP)
+    # perturbation pressure from discretization only: small vs column pressure
+    assert float(jnp.abs(pp).max()) < 50.0
+    assert float(jnp.abs(w2).max()) < 0.6
+    # thickness changes negligibly
+    assert float(jnp.abs((delz2 - delz) / delz).max()) < 5e-3
+
+
+def test_sim1_compression_raises_pressure():
+    """A column squeezed from below (ws > 0) develops positive perturbation
+    pressure near the surface and upward acceleration."""
+    w, delz, pt, delp, pkz, ws = _balanced_column()
+    ws = ws + 1.0  # surface moving up
+    w2, delz2, pp = sim1_solver(w, delz, pt, delp, pkz, ws, dt=10.0, ptop=PTOP)
+    assert float(pp[:, -1].mean()) > 0.0
+    assert float(w2[:, -1].mean()) > 0.0
+
+
+def test_nonhydro_dycore_stable():
+    from pace_tpu.grid.generation import GridSpec, MetricTerms
+    from pace_tpu.grid.grid_data import GridData
+    from pace_tpu.models.fv3.dycore import DynamicalCore, DynamicalCoreConfig
+    from pace_tpu.models.fv3.state import DycoreState
+
+    spec = GridSpec(n_tile=24, npz=12, layout=(1, 1))
+    mt = MetricTerms.generate(spec)
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float64)
+    cfg = DynamicalCoreConfig(
+        npz=12, k_split=1, n_split=4, hydrostatic=False, nord=1, d4_bg=0.12,
+        damp_w=0.06,
+    )
+    core = DynamicalCore(grid, mt.halo, cfg, timestep=600.0)
+    state = DycoreState.from_baroclinic_init(mt, perturbation=True, dtype=jnp.float64)
+    h = spec.n_halo
+    area = mt.area[:, h:-h, h:-h]
+    m0 = float(
+        (np.asarray(state.delp)[:, :, h:-h, h:-h].sum(axis=1) * area).sum()
+    )
+    s = state
+    for _ in range(4):
+        s = core.step_dynamics(s)
+    assert not bool(jnp.isnan(s.u).any() | jnp.isnan(s.w).any())
+    w_int = np.asarray(s.w)[:, :, h:-h, h:-h]
+    assert np.abs(w_int).max() < 10.0, "w blew up"
+    dz_int = np.asarray(s.delz)[:, :, h:-h, h:-h]
+    assert dz_int.max() < 0.0, "delz must stay negative"
+    m1 = float((np.asarray(s.delp)[:, :, h:-h, h:-h].sum(axis=1) * area).sum())
+    assert abs(m1 - m0) / m0 < 1e-12
