@@ -154,6 +154,20 @@ class DynamicalCore:
                 u, v, w, delz, delp, pt, q
             )
 
+            # --- auxiliary damping/adjustment (reference fv_dynamics tail:
+            # del2cubed sponge, ray_fast, neg_adj3; SURVEY.md §2.3)
+            from ...ops.dycore_extras import apply_sponge, neg_adj3, ray_fast
+
+            if cfg.n_sponge > 0 and cfg.d_ext > 0.0:
+                pt = apply_sponge(pt, None, grid, cfg.n_sponge, cfg.d_ext, dt_k)
+            if cfg.tau > 0.0:
+                pe_mid = 0.5 * (pe[..., 1:, :, :] + pe[..., :-1, :, :])
+                u, v, w = ray_fast(
+                    u, v, w, pe_mid, dt_k, grid.ptop, cfg.rf_cutoff, cfg.tau
+                )
+            if cfg.fill:
+                q = neg_adj3(q, delp)
+
         return dataclasses.replace(
             state,
             u=u,

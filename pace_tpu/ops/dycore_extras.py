@@ -1,0 +1,106 @@
+"""Dycore auxiliary operators: sponge-layer diffusion, fast Rayleigh damping,
+negative-tracer adjustment.
+
+TPU-native analogs of ``pyFV3.stencils.{del2cubed, ray_fast, neg_adj3,
+fillz}`` (reference roles per SURVEY.md §2.3: upper-atmosphere sponge-layer
+Laplacian damping (n_sponge, d_ext); Rayleigh damping of u,v,w above
+rf_cutoff; fill negative tracers).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .delnflux import _grad_fluxes
+from .stencil_utils import bcast_k, x_iface_diff, y_iface_diff
+
+
+def del2cubed(q, grid, nmax: int, cd: float):
+    """Horizontal Laplacian diffusion applied ``nmax`` times with coefficient
+    ``cd`` [m^2/s-like, premultiplied by dt] (reference HyperdiffusionDamping
+    del2cubed). Operates on the full field; callers typically slice the top
+    ``n_sponge`` layers."""
+    for _ in range(nmax):
+        fx, fy = _grad_fluxes(q, grid)
+        q = q + cd * (x_iface_diff(fx) + y_iface_diff(fy)) * bcast_k(
+            grid.rarea, q
+        )
+    return q
+
+
+def apply_sponge(pt, u_or_none, grid, n_sponge: int, d_ext: float, dt: float):
+    """Sponge diffusion of the top ``n_sponge`` layers of a cell field.
+
+    ``d_ext`` acts as a nondimensional per-step diffusion number (reference
+    default 0.02); it is clipped to the explicit-Laplacian stability bound.
+    """
+    if n_sponge <= 0 or d_ext <= 0.0:
+        return pt
+    cd = min(d_ext, 0.2) * grid.da_min
+    top = del2cubed(pt[..., :n_sponge, :, :], grid, 2, cd)
+    return jnp.concatenate([top, pt[..., n_sponge:, :, :]], axis=-3)
+
+
+def ray_fast(u, v, w, pe_mid, dt: float, ptop: float, rf_cutoff: float, tau: float):
+    """Rayleigh friction above ``rf_cutoff`` [Pa] with timescale ``tau`` [s]
+    (reference ray_fast). The damping rate ramps smoothly from zero at
+    rf_cutoff to 1/tau at the model top:
+
+        r(p) = (1/tau) * sin^2( (pi/2) * log(rf_cutoff/p) / log(rf_cutoff/ptop) )
+
+    ``pe_mid`` is the layer-mean pressure at cell centers; wind points use
+    neighbor averages (2-point), adequate for the smooth ramp.
+    """
+    if tau <= 0.0:
+        return u, v, w
+    safe_top = max(ptop, 1e-3)
+
+    def rate(p):
+        x = jnp.log(rf_cutoff / jnp.maximum(p, safe_top)) / jnp.log(
+            rf_cutoff / safe_top
+        )
+        r = (1.0 / tau) * jnp.sin(0.5 * jnp.pi * jnp.clip(x, 0.0, 1.0)) ** 2
+        return jnp.where(p < rf_cutoff, r, 0.0)
+
+    damp_c = 1.0 / (1.0 + dt * rate(pe_mid))
+    from .stencil_utils import (
+        x_cell_to_left_iface,
+        x_cell_to_right_iface,
+        y_cell_to_left_iface,
+        y_cell_to_right_iface,
+    )
+
+    damp_u = 0.5 * (y_cell_to_left_iface(damp_c) + y_cell_to_right_iface(damp_c))
+    damp_v = 0.5 * (x_cell_to_left_iface(damp_c) + x_cell_to_right_iface(damp_c))
+    u = u * damp_u
+    v = v * damp_v
+    if w is not None:
+        w = w * damp_c
+    return u, v, w
+
+
+def neg_adj3(q, delp):
+    """Fill negative tracers by borrowing mass from the layer below, then
+    clip any remainder (reference AdjustNegativeTracerMixingRatio, simplified
+    to a two-pass downward/clip scheme; exactly conservative except for the
+    final clip of column-wide deficits).
+
+    q: (S, nq, K, Y, X); delp: (S, K, Y, X)."""
+    import jax
+
+    dp = delp[:, None]
+    mass = q * dp  # tracer mass per layer
+
+    def body(carry, m_k):
+        # carry = deficit propagated downward (negative mass to absorb)
+        m = m_k + carry
+        new_deficit = jnp.minimum(m, 0.0)
+        return new_deficit, jnp.maximum(m, 0.0)
+
+    m_seq = jnp.moveaxis(mass, -3, 0)
+    deficit, m_down = jax.lax.scan(body, jnp.zeros_like(m_seq[0]), m_seq)
+    # second pass: propagate the leftover bottom deficit upward
+    _, m_up_rev = jax.lax.scan(body, deficit, m_down[::-1])
+    m_new = jnp.moveaxis(m_up_rev[::-1], 0, -3)
+    # any remaining deficit means the whole column is negative; it is clipped
+    return m_new / dp
