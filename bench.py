@@ -41,8 +41,37 @@ def main():
     spec = GridSpec(n_tile=N_TILE, npz=NPZ, layout=(1, 1))
     mt = MetricTerms.generate(spec)
     grid = GridData.from_metric_terms(mt, dtype=jnp.float32)
+    # the reference's headline perf configuration: nonhydrostatic baroclinic
+    # C192, dt=200s, k_split=7, n_split=8 (reference
+    # .jenkins/driver_configs/baroclinic_c192_6ranks.yaml:28-72)
     cfg = DynamicalCoreConfig(
-        npz=NPZ, k_split=1, n_split=5, hydrostatic=True, nord=1, d4_bg=0.12
+        npz=NPZ,
+        k_split=7,
+        n_split=8,
+        hydrostatic=False,
+        nord=3,
+        d4_bg=0.15,
+        d2_bg=0.0,
+        d2_bg_k1=0.2,
+        d2_bg_k2=0.1,
+        dddmp=0.5,
+        do_vort_damp=True,
+        vtdm4=0.06,
+        d_con=1.0,
+        rf_cutoff=3000.0,
+        rf_fast=True,
+        tau=10.0,
+        fill=True,
+        n_sponge=48,
+        hord_mt=6,
+        hord_vt=6,
+        hord_tm=6,
+        hord_dp=6,
+        hord_tr=8,
+        kord_mt=9,
+        kord_tm=-9,
+        kord_tr=9,
+        kord_wz=9,
     )
     core = DynamicalCore(grid, mt.halo, cfg, timestep=200.0)
     state = DycoreState.from_baroclinic_init(mt, perturbation=True, dtype=jnp.float32)

@@ -90,7 +90,13 @@ class MonitorDiagnostics:
         self.times.append(time_seconds)
         it = len(self.times) - 1
         for name in self.config.names:
-            arr = self._interior(getattr(state, name))
+            field = getattr(state, name)
+            if field is None:
+                raise ValueError(
+                    f"diagnostic {name!r} requested but not filled by the "
+                    "model (None in state)"
+                )
+            arr = self._interior(field)
             self._append(name, it, arr)
         for name in self.config.derived_names:
             arr = self._interior(self._derive(name, state))

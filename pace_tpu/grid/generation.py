@@ -308,6 +308,17 @@ def _generate_cubed_sphere(cls, spec: GridSpec, eta_file, radius) -> "MetricTerm
                 area_c[s, jj, ii] -= q
 
     area = _sanitize(area)
+    # The outermost ghost ring of corners only accumulates the quadrants of
+    # cells inside the array (the cells beyond the halo don't exist here), so
+    # its dual areas come out ~half-sized. Those values feed the outer ring of
+    # the del-n damping Laplacian iterations — a half-sized area there doubles
+    # the local eigenvalue and tips the nord=3 damping into an overdamping
+    # instability at tile edges. Replace the ring by linear extrapolation from
+    # the two adjacent rings (smooth metric, O(h^2) accurate).
+    area_c[:, 0, :] = 2.0 * area_c[:, 1, :] - area_c[:, 2, :]
+    area_c[:, -1, :] = 2.0 * area_c[:, -2, :] - area_c[:, -3, :]
+    area_c[:, :, 0] = 2.0 * area_c[:, :, 1] - area_c[:, :, 2]
+    area_c[:, :, -1] = 2.0 * area_c[:, :, -2] - area_c[:, :, -3]
     area_c = _sanitize(area_c)
 
     # --- local bases at all supergrid points (centered differences)

@@ -57,6 +57,9 @@ class AcousticResult:
     cyd: jnp.ndarray
     xfxd: jnp.ndarray
     yfxd: jnp.ndarray
+    #: damping-dissipated KE accumulated over the substeps [J/kg]
+    #: (reference diss_est/diss_estd diagnostic)
+    diss_est: jnp.ndarray | None = None
 
 
 def acoustic_loop(
@@ -84,18 +87,23 @@ def acoustic_loop(
     dt2 = 0.5 * dt
     ptop = grid.ptop
 
+    track_heat = config.d_sw.d_con > 0.0 or config.d_sw.vtdm4 > 0.0
+
     def substep(carry, _):
         u, v, w, delp, pt, delz, acc = carry
         res = _one_substep(
             u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, ptop
         )
-        acc_new = tuple(a + b for a, b in zip(acc, res[6:]))
+        n_acc = 7 if track_heat else 6
+        acc_new = tuple(a + b for a, b in zip(acc, res[6 : 6 + n_acc]))
         return (res[0], res[1], res[2], res[3], res[4], res[5], acc_new), None
 
     # zero accumulators shaped like one substep's transport quantities
     zx = jnp.zeros_like(v)  # (S, K, Y, X+1) x-interface shaped
     zy = jnp.zeros_like(u)  # (S, K, Y+1, X)
     acc0 = (zx, zy, zx, zy, zx, zy)  # mfx, mfy, cx, cy, xfx, yfx
+    if track_heat:
+        acc0 = acc0 + (jnp.zeros_like(delp),)
 
     if config.n_split == 1:
         (u, v, w, delp, pt, delz, acc), _ = substep(
@@ -105,7 +113,8 @@ def acoustic_loop(
         (u, v, w, delp, pt, delz, acc), _ = jax.lax.scan(
             substep, (u, v, w, delp, pt, delz, acc0), None, length=config.n_split
         )
-    mfxd, mfyd, cxd, cyd, xfxd, yfxd = acc
+    mfxd, mfyd, cxd, cyd, xfxd, yfxd = acc[:6]
+    diss = acc[6] if track_heat else None
 
     return AcousticResult(
         u=u,
@@ -120,6 +129,7 @@ def acoustic_loop(
         cyd=cyd,
         xfxd=xfxd,
         yfxd=yfxd,
+        diss_est=diss,
     )
 
 
@@ -143,16 +153,17 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, pto
     # --- C-grid half step + its pressure gradient
     cg = c_sw(u_y, v_x, delp_x, pt_x, grid, halo, dt2)
     if hydro:
-        _pe, _peln, pkc, _pkz, gz_c = hydrostatic_interfaces(
+        _pe, _peln, pkc, pkz_c, gz_c = hydrostatic_interfaces(
             cg.delpc, cg.ptc, phis, ptop
         )
         uc, vc = p_grad_c(cg.uc, cg.vc, pkc, gz_c, grid, dt2)
     else:
         from ...ops.nonhydro import heights_from_delz, riem_solver_c
 
-        _pe, _peln, _pk, pkz_h, _gz = hydrostatic_interfaces(
+        _pe, _peln, _pk, pkz_c, _gz = hydrostatic_interfaces(
             cg.delpc, cg.ptc, phis, ptop
         )
+        pkz_h = pkz_c
         ws0 = jnp.zeros_like(phis)
         pe_full_c, _delz_c = riem_solver_c(
             w_x, delz, cg.ptc, cg.delpc, pkz_h, ws0, dt2, ptop
@@ -188,6 +199,12 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, pto
     u, v, delp, pt = ds.u, ds.v, ds.delp, ds.pt
     if w is not None:
         w = ds.w
+    heat = ds.heat
+    if heat is not None and config.d_sw.d_con > 0.0:
+        # dissipation heating (reference temperature_adjust, d_con fraction):
+        # dT = d_con*heat/cv_air; pt is potential temperature so divide by the
+        # mid-substep Exner function
+        pt = pt + (config.d_sw.d_con / constants.CV_AIR) * heat / pkz_c
 
     delp_h = halo.update_scalar(delp, fold="x")
     pt_h = halo.update_scalar(pt, fold="x")
@@ -232,8 +249,11 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, pto
     u, v = halo.sync_vector_interfaces(u, v, kind="dgrid")
     delp, pt = delp_h, pt_h
 
-    return (
+    out = (
         u, v, w, delp, pt, delz,
         ds.mfx, ds.mfy, ds.crx, ds.cry, ds.xfx, ds.yfx,
     )
+    if heat is not None:
+        out = out + (heat,)
+    return out
 

@@ -47,11 +47,18 @@ class DynamicalCoreConfig:
     kord_wz: int = 9
     nord: int = 1
     d2_bg: float = 0.0
+    d2_bg_k1: float = 0.0
+    d2_bg_k2: float = 0.0
     d4_bg: float = 0.16
     dddmp: float = 0.0
     d_con: float = 0.0
+    do_vort_damp: bool = False
     vtdm4: float = 0.0
     damp_w: float = 0.0
+    ke_bg: float = 0.0
+    delt_max: float = 0.002
+    do_qa: bool = False
+    fv_sg_adj: int = 0
     n_sponge: int = 0
     d_ext: float = 0.0
     rf_cutoff: float = 7.5e2
@@ -78,9 +85,12 @@ class DynamicalCoreConfig:
                 hord_dp=self.hord_dp,
                 nord=self.nord,
                 d2_bg=self.d2_bg,
+                d2_bg_k1=self.d2_bg_k1,
+                d2_bg_k2=self.d2_bg_k2,
                 d4_bg=self.d4_bg,
                 dddmp=self.dddmp,
                 damp_w=self.damp_w,
+                do_vort_damp=self.do_vort_damp,
                 vtdm4=self.vtdm4,
                 d_con=self.d_con,
             ),
@@ -125,12 +135,17 @@ class DynamicalCore:
             w = None
             delz = None
 
+        diss_acc = None
         for _ in range(cfg.k_split):
             delp0 = delp
             res = acoustic_loop(
                 u, v, w, delp, pt, phis, grid, halo, acfg, dt_k, delz=delz
             )
             u, v, w, delz = res.u, res.v, res.w, res.delz
+            if res.diss_est is not None:
+                diss_acc = (
+                    res.diss_est if diss_acc is None else diss_acc + res.diss_est
+                )
 
             # --- tracer transport through the accumulated mass fluxes
             q, dp_traced = advect_tracers(
@@ -168,10 +183,23 @@ class DynamicalCore:
             if cfg.fill:
                 q = neg_adj3(q, delp)
 
+        # --- A/C-grid wind diagnostics from the post-remap D-grid winds
+        # (reference keeps ua/va/uc/vc in DycoreState for physics coupling and
+        # diagnostics; driver/pace/driver/state.py:119-151)
+        from ...ops.d2a2c import d2a2c_vect
+
+        u_y, _ = halo.update_vector(u, v, kind="dgrid", fold="y")
+        _, v_x = halo.update_vector(u, v, kind="dgrid", fold="x")
+        ua, va, uc, vc, _, _ = d2a2c_vect(u_y, v_x, grid)
+
         return dataclasses.replace(
             state,
             u=u,
             v=v,
+            ua=ua,
+            va=va,
+            uc=uc,
+            vc=vc,
             w=w,
             delz=delz,
             delp=delp,
@@ -186,6 +214,7 @@ class DynamicalCore:
             mfyd=res.mfyd,
             cxd=res.cxd,
             cyd=res.cyd,
+            diss_estd=diss_acc,
         )
 
     def _remap(self, u, v, w, delz, delp, pt, q):

@@ -84,18 +84,43 @@ def divergence_corner(u, v, va_x, ua_y, grid):
     # contravariant u~ = u_cov - v~ cos(theta); normal component = u~ sin(theta).
     # uf (at y-interface u points) is the +x normal flux through the dual edge
     # crossing that u point; vf (at x-interface v points) the +y normal flux.
+    # On tile-edge rows/cols the cross-term average would read A-grid ghost
+    # winds expressed in the NEIGHBOR tile's frame (broken by the coordinate
+    # kink), so — as in the reference divergence_corner edge branches — the
+    # cosa term is dropped there and the one-sided supergrid sines are used:
+    # uf_edge = u*dyc*(sin_sg_n(j-1)+sin_sg_s(j))/2. Without this the del-n
+    # divergence damping is anti-dissipative at tile edges and the model blows
+    # up at nord>=2 within a few steps.
     va_c = 0.5 * (y_cell_to_left_iface(va_x) + y_cell_to_right_iface(va_x))
     uf = (
         (u - va_c * bcast_k(grid.cosa_v, u))
         * bcast_k(grid.sina_v, u)
         * bcast_k(grid.dyc, u)
     )  # (.., Y+1, X)
+    sin_u_edge = 0.5 * (
+        y_cell_to_left_iface(grid.sin_sg_n) + y_cell_to_right_iface(grid.sin_sg_s)
+    )
+    edge_y = jnp.clip(grid.edge_s_iface + grid.edge_n_iface, 0.0, 1.0)
+    uf = jnp.where(
+        bcast_k(edge_y, uf) > 0.0,
+        u * bcast_k(sin_u_edge * grid.dyc, u),
+        uf,
+    )
     ua_c = 0.5 * (x_cell_to_left_iface(ua_y) + x_cell_to_right_iface(ua_y))
     vf = (
         (v - ua_c * bcast_k(grid.cosa_u, v))
         * bcast_k(grid.sina_u, v)
         * bcast_k(grid.dxc, v)
     )  # (.., Y, X+1)
+    sin_v_edge = 0.5 * (
+        x_cell_to_left_iface(grid.sin_sg_e) + x_cell_to_right_iface(grid.sin_sg_w)
+    )
+    edge_x = jnp.clip(grid.edge_w_iface + grid.edge_e_iface, 0.0, 1.0)
+    vf = jnp.where(
+        bcast_k(edge_x, vf) > 0.0,
+        v * bcast_k(sin_v_edge * grid.dxc, v),
+        vf,
+    )
     # Outflow around corner (jj, ii):
     #   + uf(jj, ii) [right: dual edge through u(jj, ii)]  - uf(jj, ii-1)
     #   + vf(jj, ii) [top: through v(jj, ii)]              - vf(jj-1, ii)

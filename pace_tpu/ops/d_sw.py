@@ -56,11 +56,14 @@ class DSWConfig:
     hord_dp: int = 6
     nord: int = 1  # divergence damping order (0=del2, 1=del4, 2=del6)
     d2_bg: float = 0.0
+    d2_bg_k1: float = 0.0  # sponge del-2 coefficient, top model level
+    d2_bg_k2: float = 0.0  # sponge del-2 coefficient, second level
     d4_bg: float = 0.16
-    dddmp: float = 0.0  # Smagorinsky-type adaptive damping (not yet used)
+    dddmp: float = 0.0  # Smagorinsky-type adaptive del-2 divergence damping
     damp_w: float = 0.0  # vertical-velocity del-n damping coefficient
-    vtdm4: float = 0.0  # momentum del-4 damping (not yet used)
-    d_con: float = 0.0  # dissipation heating fraction (not yet used)
+    do_vort_damp: bool = False
+    vtdm4: float = 0.0  # vorticity/momentum del-n damping coefficient
+    d_con: float = 0.0  # fraction of damping-dissipated KE returned as heat
 
 
 @jax.tree_util.register_dataclass
@@ -78,6 +81,9 @@ class DSWResult:
     cry: jnp.ndarray
     xfx: jnp.ndarray
     yfx: jnp.ndarray
+    #: KE dissipated by divergence/vorticity damping this substep [J/kg],
+    #: cell-centered; feeds d_con heating + the diss_estd diagnostic
+    heat: Optional[jnp.ndarray] = None
 
 
 def absolute_vorticity_centers(u, v, grid):
@@ -196,24 +202,83 @@ def d_sw(
 
     # --- kinetic energy + divergence damping potential at corners
     dtke = kinetic_energy_corners(u, v, ut, vt, grid, dt)
-    if config.nord == 0:
-        damp = config.d2_bg * grid.da_min_c
-        chi = damp * divg_d
+    vort = absolute_vorticity_centers(u, v, grid)
+
+    # del-2 background part, with the sponge profile (d2_bg_k1/k2 boost the
+    # top two model levels; reference fv_dynamics sponge convention) and the
+    # Smagorinsky-type adaptive part (dddmp), limited to 0.20 as in the
+    # reference divergence_damping.
+    K = u.shape[-3]
+    prof = [config.d2_bg] * K
+    if K >= 1:
+        prof[0] = max(config.d2_bg, config.d2_bg_k1)
+    if K >= 2:
+        prof[1] = max(config.d2_bg, config.d2_bg_k2)
+    d2_col = jnp.asarray(prof, dtype=u.dtype)[:, None, None]
+    if config.dddmp > 0.0:
+        # deformation magnitude at corners: combine corner divergence with
+        # 4-point-averaged relative vorticity (TPU-native stand-in for the
+        # reference smag_corner tension+shear pair)
+        zeta = vort - bcast_k(grid.f0, vort)
+        zeta_p = jnp.pad(
+            zeta, [(0, 0)] * (zeta.ndim - 2) + [(1, 1), (1, 1)], mode="edge"
+        )
+        zeta_c = 0.25 * (
+            zeta_p[..., :-1, :-1]
+            + zeta_p[..., :-1, 1:]
+            + zeta_p[..., 1:, :-1]
+            + zeta_p[..., 1:, 1:]
+        )
+        smag = dt * jnp.sqrt(divg_d * divg_d + zeta_c * zeta_c)
+        damp2 = jnp.maximum(d2_col, jnp.minimum(0.20, config.dddmp * smag))
     else:
+        damp2 = d2_col
+    chi = grid.da_min_c * damp2 * divg_d
+    if config.nord > 0:
+        # higher-order part — overflow-safe factoring of
+        # (d4_bg*da_min_c)^(nord+1): one da_min_c folded into each Laplacian
+        # iteration keeps intermediates O(1) in f32 (see delnflux)
         d2 = divg_d
         for _ in range(config.nord):
-            d2 = lap_corner(d2, grid)
-        damp = (config.d4_bg * grid.da_min_c) ** (config.nord + 1)
-        # alternate sign so the resulting operator damps divergence
-        chi = damp * d2 * ((-1.0) ** config.nord)
+            d2 = lap_corner(d2, grid) * grid.da_min_c
+        dampn = config.d4_bg ** (config.nord + 1) * grid.da_min_c
+        chin = dampn * d2 * ((-1.0) ** config.nord)
+        # Tile-edge stabilization: the composite del-2(nord+1) operator's
+        # eigenvalue peaks on the tile-edge corner rows (the dual areas there
+        # sit at the global minimum), tipping it into an overdamping
+        # instability for d4_bg >~ 0.12 at nord=3. The reference avoids this
+        # with one-sided edge-adapted weight arrays (divg_u/divg_v edge
+        # branches); here the high-order part is masked off on the edge rows
+        # and replaced by an unconditionally dissipative del-2 term.
+        band = jnp.clip(
+            grid.edge_s_iface
+            + grid.edge_n_iface
+            + grid.edge_w_iface
+            + grid.edge_e_iface,
+            0.0,
+            1.0,
+        )
+        bandk = bcast_k(band, chin)
+        d2_edge = max(config.d4_bg / 3.0, config.d2_bg)
+        chi_edge = grid.da_min_c * d2_edge * divg_d
+        chi = chi + (1.0 - bandk) * chin + bandk * chi_edge
     dtke = dtke - chi
 
     # --- vorticity fluxes via the same transport operator
-    vort = absolute_vorticity_centers(u, v, grid)
     vort_x = halo.update_scalar(vort, fold="x")
     vort_y = halo.update_scalar(vort, fold="y")
     fv_ = fvtp2d(vort_x, vort_y, crx, cry, xfx, yfx, grid.area, config.hord_vt)
     vfx, vfy = halo.sync_vector_interfaces(fv_.fx, fv_.fy, kind="cgrid")
+
+    # vorticity del-n damping (reference do_vort_damp/vtdm4: delnflux on the
+    # vorticity field, fluxes folded into the vorticity fluxes)
+    dvfx = dvfy = None
+    if config.do_vort_damp and config.vtdm4 > 0.0:
+        nord_v = min(2, config.nord) if config.nord > 0 else 0
+        dvfx, dvfy = delnflux(vort_x, grid, nord_v, config.vtdm4, grid.da_min)
+        dvfx, dvfy = halo.sync_vector_interfaces(dvfx, dvfy, kind="cgrid")
+        vfx = vfx + dvfx
+        vfy = vfy + dvfy
 
     # --- circulation-form momentum update
     u_new = (
@@ -228,6 +293,24 @@ def d_sw(
     ) * bcast_k(grid.rdy, v)
     u_new, v_new = halo.sync_vector_interfaces(u_new, v_new, kind="dgrid")
 
+    # --- dissipation estimate: KE removed by the damping terms this substep
+    # (reference heat_source/diss_est in d_sw; drives d_con heating and the
+    # diss_estd diagnostic). Trapezoidal u·du using the damping-only wind
+    # increments.
+    heat = None
+    if config.d_con > 0.0 or config.vtdm4 > 0.0:
+        du_d = (chi[..., 1:] - chi[..., :-1]) * bcast_k(grid.rdx, u)
+        dv_d = (chi[..., 1:, :] - chi[..., :-1, :]) * bcast_k(grid.rdy, v)
+        if dvfy is not None:
+            du_d = du_d + dvfy * bcast_k(grid.rdx, u)
+            dv_d = dv_d - dvfx * bcast_k(grid.rdy, v)
+        e_u = (u + 0.5 * du_d) * du_d  # at u points
+        e_v = (v + 0.5 * dv_d) * dv_d  # at v points
+        heat = -(
+            0.5 * (e_u[..., :-1, :] + e_u[..., 1:, :])
+            + 0.5 * (e_v[..., :-1] + e_v[..., 1:])
+        )
+
     return DSWResult(
         u=u_new,
         v=v_new,
@@ -240,4 +323,5 @@ def d_sw(
         cry=cry,
         xfx=xfx,
         yfx=yfx,
+        heat=heat,
     )

@@ -44,13 +44,21 @@ def delnflux(q, grid, nord: int, damp_c: float, da_min: float):
     ``q += (x_iface_diff(fx) + y_iface_diff(fy)) * rarea`` damps q for any
     nord: each Laplacian iteration flips sign, compensated here.
     """
-    damp = (damp_c * da_min) ** (nord + 1)
+    # Overflow-safe factoring of damp = (damp_c*da_min)^(nord+1): fold one
+    # factor of da_min into every Laplacian iteration (rarea*da_min <= 1) so
+    # all intermediates stay O(q) — (damp_c*da_min)^4 alone overflows f32 at
+    # production resolutions (da_min ~ 1e11 m^2 at C24).
     d2 = q
     fx, fy = _grad_fluxes(d2, grid)
     for _ in range(nord):
         # d2 <- -Laplacian-like of previous (area-normalized divergence)
-        d2 = -(x_iface_diff(fx) + y_iface_diff(fy)) * bcast_k(grid.rarea, fx[..., :-1])
+        d2 = (
+            -(x_iface_diff(fx) + y_iface_diff(fy))
+            * bcast_k(grid.rarea, fx[..., :-1])
+            * da_min
+        )
         fx, fy = _grad_fluxes(d2, grid)
+    damp = damp_c ** (nord + 1) * da_min
     return damp * fx, damp * fy
 
 
