@@ -109,20 +109,38 @@ class DynamicalCore:
         state = core.step_dynamics(state)   # jit-compiled on first call
     """
 
-    def __init__(self, grid, halo, config: DynamicalCoreConfig, timestep: float):
+    def __init__(
+        self,
+        grid,
+        halo,
+        config: DynamicalCoreConfig,
+        timestep: float,
+        donate: bool = False,
+    ):
+        """``donate=True`` donates the input state's buffers to the step
+        (halves peak HBM for step-in-place loops; the passed-in state becomes
+        invalid after each call — use for production stepping, not for tests
+        that reuse a state)."""
         self.grid = grid
         self.halo = halo
         self.config = config
         self.timestep = float(timestep)
-        self._step = jax.jit(self._step_impl)
+        self._step = jax.jit(
+            self._step_impl, donate_argnums=(0,) if donate else ()
+        )
 
     def step_dynamics(self, state: DycoreState) -> DycoreState:
-        return self._step(state)
+        # grid is passed as an ARGUMENT, not a closure: closed-over device
+        # arrays would be baked into the HLO as constants, which forces a
+        # device->host download of every metric term at trace time (minutes
+        # through a remote-TPU tunnel) and bloats the executable
+        return self._step(state, self.grid)
 
     # ------------------------------------------------------------------
-    def _step_impl(self, state: DycoreState) -> DycoreState:
+    def _step_impl(self, state: DycoreState, grid=None) -> DycoreState:
         cfg = self.config
-        grid = self.grid
+        if grid is None:
+            grid = self.grid
         halo = self.halo
         dt_k = self.timestep / cfg.k_split
         acfg = cfg.acoustic()
@@ -135,20 +153,19 @@ class DynamicalCore:
             w = None
             delz = None
 
-        diss_acc = None
-        for _ in range(cfg.k_split):
+        track_heat = cfg.d_con > 0.0 or cfg.vtdm4 > 0.0
+
+        def k_split_body(u, v, w, delp, pt, q, delz):
+            """One outer (Lagrangian) step: acoustic loop + tracer transport +
+            vertical remap + fv_dynamics tail adjustments."""
             delp0 = delp
             res = acoustic_loop(
                 u, v, w, delp, pt, phis, grid, halo, acfg, dt_k, delz=delz
             )
             u, v, w, delz = res.u, res.v, res.w, res.delz
-            if res.diss_est is not None:
-                diss_acc = (
-                    res.diss_est if diss_acc is None else diss_acc + res.diss_est
-                )
 
             # --- tracer transport through the accumulated mass fluxes
-            q, dp_traced = advect_tracers(
+            q, _dp_traced = advect_tracers(
                 q,
                 delp0,
                 res.cxd,
@@ -182,6 +199,67 @@ class DynamicalCore:
                 )
             if cfg.fill:
                 q = neg_adj3(q, delp)
+            # carry only pkz (its nonhydro recompute needs several inputs) and
+            # the flux accumulators; pe/peln/pk/ps are rebuilt from delp after
+            # the loop — carrying them across scan iterations would hold three
+            # extra (K+1)-level fields live in HBM for the whole step
+            aux = (
+                pkz,
+                res.mfxd,
+                res.mfyd,
+                res.cxd,
+                res.cyd,
+                res.diss_est,
+            )
+            return u, v, w, delp, pt, q, delz, aux
+
+        if cfg.k_split == 1:
+            u, v, w, delp, pt, q, delz, aux = k_split_body(
+                u, v, w, delp, pt, q, delz
+            )
+            pkz, mfxd, mfyd, cxd, cyd, diss_acc = aux
+        else:
+            # scan over the k_split outer steps so the (large) acoustic+remap
+            # graph is traced/compiled ONCE instead of k_split times — the
+            # analog of the reference's dace.nounroll over the mainloop
+            # (doc_primer_orchestration.md)
+            aux0 = (
+                jnp.zeros_like(delp),
+                jnp.zeros_like(v),
+                jnp.zeros_like(u),
+                jnp.zeros_like(v),
+                jnp.zeros_like(u),
+                jnp.zeros_like(delp) if track_heat else None,
+            )
+
+            def scan_body(carry, _):
+                u, v, w, delp, pt, q, delz, prev_aux = carry
+                u, v, w, delp, pt, q, delz, aux = k_split_body(
+                    u, v, w, delp, pt, q, delz
+                )
+                # diss_est accumulates across outer steps; other aux fields
+                # keep the last iteration's values
+                if track_heat:
+                    aux = aux[:-1] + (prev_aux[-1] + aux[-1],)
+                return (u, v, w, delp, pt, q, delz, aux), None
+
+            (u, v, w, delp, pt, q, delz, aux), _ = jax.lax.scan(
+                scan_body,
+                (u, v, w, delp, pt, q, delz, aux0),
+                None,
+                length=cfg.k_split,
+            )
+            pkz, mfxd, mfyd, cxd, cyd, diss_acc = aux
+
+        # interface-pressure diagnostics from the final delp (cheap rebuild;
+        # identical to what the last remap produced)
+        ptop = grid.ptop
+        pe_below = ptop + jnp.cumsum(delp, axis=-3)
+        top = jnp.full_like(pe_below[..., :1, :, :], ptop)
+        pe = jnp.concatenate([top, pe_below], axis=-3)
+        ps = pe[..., -1, :, :]
+        peln = jnp.log(pe)
+        pk = (pe / constants.P_REF) ** constants.KAPPA
 
         # --- A/C-grid wind diagnostics from the post-remap D-grid winds
         # (reference keeps ua/va/uc/vc in DycoreState for physics coupling and
@@ -192,6 +270,9 @@ class DynamicalCore:
         _, v_x = halo.update_vector(u, v, kind="dgrid", fold="x")
         ua, va, uc, vc, _, _ = d2a2c_vect(u_y, v_x, grid)
 
+        # keep the output pytree structure identical to the input's: never
+        # demote a filled optional field back to None (a structure change
+        # would force jit to compile a second executable and alternate)
         return dataclasses.replace(
             state,
             u=u,
@@ -200,8 +281,8 @@ class DynamicalCore:
             va=va,
             uc=uc,
             vc=vc,
-            w=w,
-            delz=delz,
+            w=w if w is not None else state.w,
+            delz=delz if delz is not None else state.delz,
             delp=delp,
             pt=pt,
             q=q,
@@ -210,11 +291,11 @@ class DynamicalCore:
             pk=pk,
             pkz=pkz,
             ps=ps,
-            mfxd=res.mfxd,
-            mfyd=res.mfyd,
-            cxd=res.cxd,
-            cyd=res.cyd,
-            diss_estd=diss_acc,
+            mfxd=mfxd,
+            mfyd=mfyd,
+            cxd=cxd,
+            cyd=cyd,
+            diss_estd=diss_acc if diss_acc is not None else state.diss_estd,
         )
 
     def _remap(self, u, v, w, delz, delp, pt, q):

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .stencil_utils import sx, sy, swap_xy
+from .stencil_utils import sx, sy
 
 #: hord values accepted (reference namelist hord_mt/hord_vt/hord_tm/hord_dp/hord_tr)
 SUPPORTED_HORDS = (1, 5, 6, 7, 8)
@@ -134,10 +134,11 @@ def xppm(q, crx, hord: int):
 
 
 def yppm(q, cry, hord: int):
-    """PPM interface values along y (interface j between cells j-1, j)."""
-    qT = swap_xy(q)
-    cT = swap_xy(cry)
-    return swap_xy(_flux_1d(qT, cT, hord, sx))
+    """PPM interface values along y (interface j between cells j-1, j).
+
+    Runs natively along axis -2 via the ``sy`` shift — transposing to x and
+    back would cost two full-array relayouts per call on TPU."""
+    return _flux_1d(q, cry, hord, sy)
 
 
 def xppm_i(q, crx, hord: int):
@@ -155,6 +156,4 @@ def yppm_i(q, cry, hord: int):
     """As yppm with cry: (..., Y+1, X)."""
     pad = [(0, 0)] * (q.ndim - 2) + [(0, 1), (0, 0)]
     qp = jnp.pad(q, pad)
-    qT = swap_xy(qp)
-    cT = swap_xy(cry)
-    return swap_xy(_flux_1d(qT, cT, hord, sx))
+    return _flux_1d(qp, cry, hord, sy)

@@ -210,7 +210,9 @@ class SlabHalo:
         for cid, c in enumerate(op.classes):
             src_all = srcs[c.src_comp]
             sr0, sr1, sc0, sc1 = c.src_rect
-            cand = src_all[op.perm][..., sr0:sr1, sc0:sc1]
+            # slice first, then permute the leading shard axis: the gather
+            # then reads only the slab, not a permuted copy of the full field
+            cand = src_all[..., sr0:sr1, sc0:sc1][op.perm]
             if c.rot_k:
                 cand = jnp.rot90(cand, k=c.rot_k, axes=(-2, -1))
             if c.sign != 1.0:

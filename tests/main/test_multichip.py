@@ -42,7 +42,7 @@ def test_sharded_step_matches_single_device():
     sharded = jax.tree_util.tree_map(
         lambda a: jax.device_put(a, spec_of(a)), state
     )
-    out = jax.jit(core._step_impl)(sharded)
+    out = jax.jit(core._step_impl)(sharded, core.grid)
     # partitioned XLA may reorder fused ops: agreement to strict roundoff
     np.testing.assert_allclose(
         np.asarray(out.u), np.asarray(ref.u), rtol=1e-13, atol=1e-10
