@@ -31,16 +31,28 @@ class InitializationConfig:
     def get_dycore_state(self, mt, dtype) -> DycoreState:
         from ..utils.registry import from_dict
 
-        if self.type in ("baroclinic", "analytic"):
+        if self.type in ("baroclinic", "analytic", "tropicalcyclone"):
             cfg = from_dict(AnalyticInitConfig, self.config or {})
-            if cfg.case == "baroclinic":
-                return DycoreState.from_baroclinic_init(
-                    mt, perturbation=cfg.perturbation, dtype=dtype
-                )
-            raise NotImplementedError(f"analytic case {cfg.case!r}")
+            case = cfg.case if self.type == "analytic" else (
+                "baroclinic" if self.type == "baroclinic" else "tropicalcyclone"
+            )
+            return DycoreState.from_analytic_init(
+                mt, case=case, perturbation=cfg.perturbation, dtype=dtype
+            )
         elif self.type == "restart":
             cfg = from_dict(RestartInitConfig, self.config or {})
+            from .fortran_restart import is_fortran_restart, load_fortran_restart
+
+            # the reference auto-detects Fortran-format restarts by the
+            # presence of fv_core.res.nc (driver/pace/driver/state.py:190-196)
+            if is_fortran_restart(cfg.path):
+                return load_fortran_restart(cfg.path, mt, dtype)
             from .restart import load_restart
 
             return load_restart(cfg.path, mt, dtype)
+        elif self.type == "fortran_restart":
+            cfg = from_dict(RestartInitConfig, self.config or {})
+            from .fortran_restart import load_fortran_restart
+
+            return load_fortran_restart(cfg.path, mt, dtype)
         raise NotImplementedError(f"initialization type {self.type!r}")

@@ -103,19 +103,46 @@ class DycoreState:
         )
 
     @classmethod
+    def from_analytic_init(cls, mt, case: str = "baroclinic",
+                           perturbation: bool = True, dtype=None) -> "DycoreState":
+        """Build from an analytic test case (reference
+        ``pyFV3.initialization.analytic_init.init_analytic_state``; cases
+        "baroclinic" and "tropicalcyclone",
+        driver/pace/driver/initialization.py:116-124)."""
+        if case == "baroclinic":
+            return cls.from_baroclinic_init(
+                mt, perturbation=perturbation, dtype=dtype
+            )
+        if case == "tropicalcyclone":
+            from .init_tropical_cyclone import init_tropical_cyclone_state
+
+            return cls._from_init_dict(
+                mt, init_tropical_cyclone_state(mt), dtype
+            )
+        raise ValueError(f"unknown analytic init case {case!r}")
+
+    @classmethod
     def from_baroclinic_init(cls, mt, perturbation: bool = True, moist: bool = False,
                              dtype=None) -> "DycoreState":
         """Build from the JW06 analytic state (see init_baroclinic)."""
         from .init_baroclinic import init_baroclinic_state
 
+        st = init_baroclinic_state(mt, perturbation=perturbation)
+        return cls._from_init_dict(mt, st, dtype)
+
+    @classmethod
+    def _from_init_dict(cls, mt, st, dtype=None) -> "DycoreState":
+        """Assemble a full DycoreState from an analytic-init dict with keys
+        u, v, delp, pt, phis, ps (+ optional qvapor)."""
         if dtype is None:
             from ... import dtypes
 
             dtype = dtypes.Float
-        st = init_baroclinic_state(mt, perturbation=perturbation)
         S, K = st["delp"].shape[:2]
         Y, X = st["delp"].shape[2:]
         q = np.zeros((S, len(TRACER_NAMES), K, Y, X))
+        if "qvapor" in st:
+            q[:, TRACER_NAMES.index("qvapor")] = st["qvapor"]
         pe = mt.ak[None, :, None, None] + mt.bk[None, :, None, None] * st["ps"][:, None]
         peln = np.log(np.maximum(pe, 1e-8))
         pk = (pe / constants.P_REF) ** constants.KAPPA
@@ -128,13 +155,19 @@ class DycoreState:
             -constants.RDGAS / constants.GRAV * t_v * (peln[:, 1:] - peln[:, :-1])
         )
         j = lambda a: jnp.asarray(a, dtype=dtype)  # noqa: E731
+        # fill every optional diagnostic field with zeros so the state's
+        # pytree structure is already the one step_dynamics produces — a
+        # structure change between calls would force a second jit compile
+        zc = np.zeros_like(st["delp"])
+        zu = np.zeros_like(st["u"])
+        zv = np.zeros_like(st["v"])
         return cls(
             u=j(st["u"]),
             v=j(st["v"]),
             delp=j(st["delp"]),
             pt=j(st["pt"]),
             q=j(q),
-            w=j(np.zeros_like(st["delp"])),
+            w=j(zc),
             delz=j(delz),
             phis=j(st["phis"]),
             ps=j(st["ps"]),
@@ -142,4 +175,13 @@ class DycoreState:
             peln=j(peln),
             pk=j(pk),
             pkz=j(pkz),
+            ua=j(zc),
+            va=j(zc),
+            uc=j(np.zeros_like(st["v"])),
+            vc=j(np.zeros_like(st["u"])),
+            mfxd=j(zv),
+            mfyd=j(zu),
+            cxd=j(zv),
+            cyd=j(zu),
+            diss_estd=j(zc),
         )
