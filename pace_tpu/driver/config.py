@@ -46,6 +46,25 @@ class PhysicsEnableConfig:
     schemes: Tuple[str, ...] = ()
 
 
+@dataclasses.dataclass(frozen=True)
+class CommConfig:
+    """Halo-exchange backend selector — the reference CreatesCommSelector
+    analog (driver/pace/driver/comm.py:14-184: MPICommConfig, NullCommConfig,
+    WriterCommConfig, ReaderCommConfig). Types:
+
+    - ``exchange``: real slab halo exchange (MPI analog; also covers the
+      LocalComm case since all shards share one process)
+    - ``null``: ghosts filled with ``fill_value`` (NullComm: crash-testing
+      where answers don't matter)
+    - ``write``: real exchange, recording every result to ``path`` (eager)
+    - ``read``: replay a recording from ``path`` without exchanging (eager)
+    """
+
+    type: str = "exchange"
+    fill_value: float = 0.0
+    path: str = "halo_recording.npz"
+
+
 @dataclasses.dataclass
 class DriverConfig:
     """Reference field parity: driver/pace/driver/driver.py:52-305."""
@@ -71,6 +90,7 @@ class DriverConfig:
         default_factory=PhysicsEnableConfig
     )
     grid_config: GridConfig = dataclasses.field(default_factory=GridConfig)
+    comm_config: CommConfig = dataclasses.field(default_factory=CommConfig)
     restart_config: RestartConfig = dataclasses.field(default_factory=RestartConfig)
     safety_checks: List[SafetyCheckConfig] = dataclasses.field(
         default_factory=lambda: [

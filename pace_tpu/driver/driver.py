@@ -39,6 +39,28 @@ class Driver:
         self.grid_data = GridData.from_metric_terms(self.metric_terms, dtype=dtype)
         self.halo = self.metric_terms.halo
 
+        # pluggable halo-exchange backend (reference CreatesCommSelector,
+        # driver/pace/driver/comm.py): null/write/read strategies wrap the
+        # real exchanger; write/read require eager execution
+        self._eager = False
+        comm = config.comm_config
+        if comm.type == "null":
+            from ..parallel.strategies import ConstantFillHalo
+
+            self.halo = ConstantFillHalo(self.halo, comm.fill_value)
+        elif comm.type == "write":
+            from ..parallel.strategies import RecordingHalo
+
+            self.halo = RecordingHalo(self.halo)
+            self._eager = True
+        elif comm.type == "read":
+            from ..parallel.strategies import ReplayHalo
+
+            self.halo = ReplayHalo(comm.path, self.metric_terms.halo)
+            self._eager = True
+        elif comm.type != "exchange":
+            raise ValueError(f"unknown comm type {comm.type!r}")
+
         logger.info("initializing state (%s)", config.initialization.type)
         self.state = config.initialization.get_dycore_state(
             self.metric_terms, dtype
@@ -47,6 +69,16 @@ class Driver:
         self.dycore = DynamicalCore(
             self.grid_data, self.halo, config.dycore_config, config.dt_atmos
         )
+        # pair_debug: run a second identical model and cross-check every step
+        # (reference pair_debug compares split-comm replicas per stencil call,
+        # driver.py:83-87,403-409; here the replica shares a process and the
+        # comparison granularity is one full step)
+        self.dycore_pair = None
+        if config.pair_debug:
+            self.dycore_pair = DynamicalCore(
+                self.grid_data, self.halo, config.dycore_config, config.dt_atmos
+            )
+            self.state_pair = self.state
 
         self.physics = None
         if config.physics_config.schemes:
@@ -80,22 +112,50 @@ class Driver:
     def step_all(self):
         import time as _time
 
+        import contextlib
+
+        import jax
+
         n = self.config.n_timesteps
         logger.info("running %d steps of dt=%s s", n, self.config.dt_atmos)
-        if self.config.diagnostics_config.output_initial_state:
-            self.diagnostics.store(self.time_seconds, self.state)
-        for _ in range(n):
-            t0 = _time.perf_counter()
-            with self.timer.clock("mainloop"):
-                self.state = self.dycore.step_dynamics(self.state)
-                if self.physics is not None:
-                    self.state = self.physics(self.state)
-            # block so per-step timings are honest
-            self.state.u.block_until_ready()
-            self.performance.record_step(_time.perf_counter() - t0)
-            self.time_seconds += self.config.dt_atmos
-            self._step_count += 1
-            self._end_of_step_actions()
+        ctx = jax.disable_jit() if self._eager else contextlib.nullcontext()
+        with ctx:
+            if self.config.diagnostics_config.output_initial_state:
+                self.diagnostics.store(self.time_seconds, self.state)
+            for _ in range(n):
+                t0 = _time.perf_counter()
+                with self.timer.clock("mainloop"):
+                    self.state = self.dycore.step_dynamics(self.state)
+                    if self.physics is not None:
+                        self.state = self.physics(self.state)
+                # block so per-step timings are honest
+                self.state.u.block_until_ready()
+                if self.dycore_pair is not None:
+                    self.state_pair = self.dycore_pair.step_dynamics(
+                        self.state_pair
+                    )
+                    self._check_pair()
+                self.performance.record_step(_time.perf_counter() - t0)
+                self.time_seconds += self.config.dt_atmos
+                self._step_count += 1
+                self._end_of_step_actions()
+        if self.config.comm_config.type == "write":
+            self.halo.save(self.config.comm_config.path)
+            logger.info(
+                "halo recording written to %s", self.config.comm_config.path
+            )
+
+    def _check_pair(self):
+        import numpy as np
+
+        for name in ("u", "v", "delp", "pt"):
+            a = np.asarray(getattr(self.state, name))
+            b = np.asarray(getattr(self.state_pair, name))
+            if not np.array_equal(a, b):
+                raise RuntimeError(
+                    f"pair_debug: replica divergence in {name!r} at step "
+                    f"{self._step_count}"
+                )
 
     def _end_of_step_actions(self):
         """Reference _end_of_step_actions analog (driver.py:593-625)."""

@@ -74,6 +74,7 @@ def acoustic_loop(
     config: AcousticConfig,
     dt_atmos_k: float,
     delz=None,
+    checkpointer=None,
 ) -> AcousticResult:
     """Run ``n_split`` acoustic substeps of length dt_atmos_k / n_split.
 
@@ -92,7 +93,8 @@ def acoustic_loop(
     def substep(carry, _):
         u, v, w, delp, pt, delz, acc = carry
         res = _one_substep(
-            u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, ptop
+            u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, ptop,
+            checkpointer=checkpointer,
         )
         n_acc = 7 if track_heat else 6
         acc_new = tuple(a + b for a, b in zip(acc, res[6 : 6 + n_acc]))
@@ -133,7 +135,8 @@ def acoustic_loop(
     )
 
 
-def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, ptop):
+def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
+                 ptop, checkpointer=None):
     """One acoustic substep; returns (u, v, w, delp, pt, delz, mfx, mfy, cx,
     cy, xfx, yfx)."""
     hydro = config.hydrostatic
@@ -151,7 +154,11 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, pto
         delz = halo.update_scalar(delz, fold="x")
 
     # --- C-grid half step + its pressure gradient
+    if checkpointer is not None:
+        checkpointer("C_SW-In", u=u, v=v, delp=delp, pt=pt)
     cg = c_sw(u_y, v_x, delp_x, pt_x, grid, halo, dt2)
+    if checkpointer is not None:
+        checkpointer("C_SW-Out", uc=cg.uc, vc=cg.vc, delpc=cg.delpc, ptc=cg.ptc)
     if hydro:
         _pe, _peln, pkc, pkz_c, gz_c = hydrostatic_interfaces(
             cg.delpc, cg.ptc, phis, ptop
@@ -199,6 +206,8 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, pto
     u, v, delp, pt = ds.u, ds.v, ds.delp, ds.pt
     if w is not None:
         w = ds.w
+    if checkpointer is not None:
+        checkpointer("D_SW-Out", u=u, v=v, delp=delp, pt=pt, w=w)
     heat = ds.heat
     if heat is not None and config.d_sw.d_con > 0.0:
         # dissipation heating (reference temperature_adjust, d_con fraction):

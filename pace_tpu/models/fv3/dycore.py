@@ -116,15 +116,23 @@ class DynamicalCore:
         config: DynamicalCoreConfig,
         timestep: float,
         donate: bool = False,
+        checkpointer=None,
     ):
         """``donate=True`` donates the input state's buffers to the step
         (halves peak HBM for step-in-place loops; the passed-in state becomes
         invalid after each call — use for production stepping, not for tests
-        that reuse a state)."""
+        that reuse a state).
+
+        ``checkpointer``: optional stage checkpointer
+        (pace_tpu.testing.checkpointer) fired at the reference savepoint
+        stages FVDynamics/C_SW/D_SW/Tracer2D1L/Remapping In/Out. Checkpointed
+        steps run EAGERLY (the reference's checkpointers likewise don't work
+        under DaCe orchestration, docs/testing.rst Limitations)."""
         self.grid = grid
         self.halo = halo
         self.config = config
         self.timestep = float(timestep)
+        self.checkpointer = checkpointer
         self._step = jax.jit(
             self._step_impl, donate_argnums=(0,) if donate else ()
         )
@@ -134,6 +142,9 @@ class DynamicalCore:
         # arrays would be baked into the HLO as constants, which forces a
         # device->host download of every metric term at trace time (minutes
         # through a remote-TPU tunnel) and bloats the executable
+        if self.checkpointer is not None:
+            with jax.disable_jit():
+                return self._step_impl(state, self.grid)
         return self._step(state, self.grid)
 
     # ------------------------------------------------------------------
@@ -154,16 +165,22 @@ class DynamicalCore:
             delz = None
 
         track_heat = cfg.d_con > 0.0 or cfg.vtdm4 > 0.0
+        ckpt = self.checkpointer
+        if ckpt is not None:
+            ckpt("FVDynamics-In", u=u, v=v, w=w, delp=delp, pt=pt, q=q, delz=delz)
 
         def k_split_body(u, v, w, delp, pt, q, delz):
             """One outer (Lagrangian) step: acoustic loop + tracer transport +
             vertical remap + fv_dynamics tail adjustments."""
             delp0 = delp
             res = acoustic_loop(
-                u, v, w, delp, pt, phis, grid, halo, acfg, dt_k, delz=delz
+                u, v, w, delp, pt, phis, grid, halo, acfg, dt_k, delz=delz,
+                checkpointer=ckpt,
             )
             u, v, w, delz = res.u, res.v, res.w, res.delz
 
+            if ckpt is not None:
+                ckpt("Tracer2D1L-In", q=q, delp=delp0)
             # --- tracer transport through the accumulated mass fluxes
             q, _dp_traced = advect_tracers(
                 q,
@@ -180,11 +197,22 @@ class DynamicalCore:
                 n_split=cfg.n_split_tracer,
             )
             delp, pt = res.delp, res.pt
+            if ckpt is not None:
+                ckpt("Tracer2D1L-Out", q=q)
+                ckpt(
+                    "Remapping-In",
+                    u=u, v=v, w=w, delp=delp, pt=pt, q=q, delz=delz,
+                )
 
             # --- vertical remap back to the hybrid reference coordinate
             u, v, w, delz, delp, pt, q, pe, peln, pk, pkz, ps = self._remap(
                 u, v, w, delz, delp, pt, q
             )
+            if ckpt is not None:
+                ckpt(
+                    "Remapping-Out",
+                    u=u, v=v, w=w, delp=delp, pt=pt, q=q, delz=delz,
+                )
 
             # --- auxiliary damping/adjustment (reference fv_dynamics tail:
             # del2cubed sponge, ray_fast, neg_adj3; SURVEY.md §2.3)
@@ -270,6 +298,9 @@ class DynamicalCore:
         _, v_x = halo.update_vector(u, v, kind="dgrid", fold="x")
         ua, va, uc, vc, _, _ = d2a2c_vect(u_y, v_x, grid)
 
+        if ckpt is not None:
+            ckpt("FVDynamics-Out", u=u, v=v, w=w, delp=delp, pt=pt, q=q, delz=delz)
+
         # keep the output pytree structure identical to the input's: never
         # demote a filled optional field back to None (a structure change
         # would force jit to compile a second executable and alternate)
@@ -323,7 +354,16 @@ class DynamicalCore:
             sv = remap_field(delz / dp1, pe1, pe2, monotone)
             dp2_l = pe2[..., 1:, :, :] - pe2[..., :-1, :, :]
             delz = sv * dp2_l
-        q = remap_field(q, pe1[:, None], pe2[:, None], monotone)
+        # remap tracers one at a time (reference mapn_tracer loops tracers);
+        # the full (S, nq, K, Y, X) remap held multi-GB temporaries at C192
+        q = jnp.moveaxis(
+            jax.lax.map(
+                lambda q1: remap_field(q1, pe1, pe2, monotone),
+                jnp.moveaxis(q, 1, 0),
+            ),
+            0,
+            1,
+        )
 
         # winds: remap on interface-averaged pressure columns
         pe1_u = pe_at_u_points(pe1)

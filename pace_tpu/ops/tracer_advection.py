@@ -74,27 +74,29 @@ def advect_tracers(
     mfy = mfy * frac
     rarea = grid.rarea
 
+    import jax
+
     for _ in range(n_split):
         dp2 = dp1 + (x_iface_diff(mfx) + y_iface_diff(mfy)) * bcast_k(rarea, dp1)
-        qx = halo.update_scalar(q, stagger="center", fold="x")
-        qy = halo.update_scalar(q, stagger="center", fold="y")
-        fl = fvtp2d(
-            qx,
-            qy,
-            crx[:, None],
-            cry[:, None],
-            xfx[:, None],
-            yfx[:, None],
-            grid.area,
-            hord,
-            mfx=mfx[:, None],
-            mfy=mfy[:, None],
-        )
-        # make cross-tile-edge fluxes single-valued (exact conservation)
-        fx, fy = halo.sync_vector_interfaces(fl.fx, fl.fy, kind="cgrid")
-        q = (
-            q * dp1[:, None]
-            + (x_iface_diff(fx) + y_iface_diff(fy)) * bcast_k(rarea, q)
-        ) / dp2[:, None]
+
+        def one_tracer(q1):
+            # per-tracer transport: the PPM operator's ~6 field-sized
+            # intermediates exist for ONE tracer at a time — running the whole
+            # (S, nq, K, Y, X) block at once held several multi-GB temporaries
+            # live at C192 npz=79 and overflowed HBM
+            qx1 = halo.update_scalar(q1, stagger="center", fold="x")
+            qy1 = halo.update_scalar(q1, stagger="center", fold="y")
+            fl = fvtp2d(
+                qx1, qy1, crx, cry, xfx, yfx, grid.area, hord, mfx=mfx, mfy=mfy
+            )
+            # make cross-tile-edge fluxes single-valued (exact conservation)
+            fx, fy = halo.sync_vector_interfaces(fl.fx, fl.fy, kind="cgrid")
+            return (
+                q1 * dp1
+                + (x_iface_diff(fx) + y_iface_diff(fy)) * bcast_k(rarea, q1)
+            ) / dp2
+
+        q_m = jnp.moveaxis(q, 1, 0)  # (nq, S, K, Y, X) for lax.map
+        q = jnp.moveaxis(jax.lax.map(one_tracer, q_m), 0, 1)
         dp1 = dp2
     return q, dp1

@@ -1,0 +1,12 @@
+"""Validation/testing machinery: stage checkpointers, threshold calibration,
+round-off perturbation (reference ndsl.checkpointer + ndsl.testing analogs)."""
+
+from .checkpointer import (  # noqa: F401
+    SavepointThresholds,
+    SnapshotCheckpointer,
+    Threshold,
+    ThresholdCalibrationCheckpointer,
+    ValidationCheckpointer,
+    ValidationError,
+)
+from .perturb import perturb  # noqa: F401

@@ -1,0 +1,123 @@
+"""Halo-exchange strategy tests (reference Comm-backend parity:
+NullComm / CachingCommWriter / CachingCommReader / pair_debug,
+driver/pace/driver/comm.py:14-184 and ndsl.comm fakes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pace_tpu.grid.generation import GridSpec, MetricTerms
+from pace_tpu.parallel.strategies import (
+    ConstantFillHalo,
+    NanCheckingHalo,
+    RecordingHalo,
+    ReplayHalo,
+)
+
+
+@pytest.fixture(scope="module")
+def mt():
+    return MetricTerms.generate(GridSpec(n_tile=12, npz=4, layout=(1, 1)))
+
+
+def test_constant_fill(mt):
+    halo = ConstantFillHalo(mt.halo, fill_value=7.0)
+    q = jnp.zeros((6, 4, 18, 18)) + 1.0
+    out = halo.update_scalar(q)
+    h = mt.halo.n_halo
+    out = np.asarray(out)
+    assert (out[:, :, h:-h, h:-h] == 1.0).all()
+    assert (out[:, :, :h, :] == 7.0).all()
+    assert (out[:, :, :, -h:] == 7.0).all()
+
+
+def test_record_replay_roundtrip(tmp_path, mt):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(6, 4, 18, 18))
+    u = jnp.asarray(rng.randn(6, 4, 19, 18))
+    v = jnp.asarray(rng.randn(6, 4, 18, 19))
+
+    with jax.disable_jit():
+        rec = RecordingHalo(mt.halo)
+        q1 = rec.update_scalar(q, fold="x")
+        u1, v1 = rec.update_vector(u, v, kind="dgrid", fold="y")
+        u2, v2 = rec.sync_vector_interfaces(u, v, kind="dgrid")
+    path = str(tmp_path / "rec.npz")
+    rec.save(path)
+
+    rep = ReplayHalo(path, mt.halo)
+    # replayed results are identical to the recorded ones WITHOUT exchanging
+    assert np.array_equal(np.asarray(rep.update_scalar(q, fold="x")), np.asarray(q1))
+    ur, vr = rep.update_vector(u, v, kind="dgrid", fold="y")
+    assert np.array_equal(np.asarray(ur), np.asarray(u1))
+    assert np.array_equal(np.asarray(vr), np.asarray(v1))
+    ur2, vr2 = rep.sync_vector_interfaces(u, v, kind="dgrid")
+    assert np.array_equal(np.asarray(ur2), np.asarray(u2))
+    # divergence from the recorded sequence raises
+    with pytest.raises(RuntimeError, match="divergence|exhausted"):
+        rep.update_vector(u, v, kind="dgrid", fold="x")
+
+
+def test_nan_checker(mt):
+    halo = NanCheckingHalo(mt.halo)
+    q = jnp.zeros((6, 4, 18, 18))
+    halo.update_scalar(q)  # clean passes
+    h = mt.halo.n_halo
+    bad = q.at[0, 0, h + 2, h + 2].set(jnp.nan)
+    with pytest.raises(FloatingPointError, match="NaN"):
+        halo.update_scalar(bad)
+    # NaN in the (stale) halo band is allowed
+    bad_halo = q.at[0, 0, 0, 0].set(jnp.nan)
+    halo.update_scalar(bad_halo)
+
+
+def test_driver_null_comm_runs(tmp_path):
+    """A full driver run with constant-fill halos must execute without
+    crashing (the reference's NullComm use case)."""
+    from pace_tpu.driver.config import DriverConfig
+    from pace_tpu.driver.driver import Driver
+
+    cfg = DriverConfig.from_dict(
+        dict(
+            nx_tile=12,
+            nz=4,
+            layout=[1, 1],
+            dt_atmos=60.0,
+            minutes=2,
+            comm_config={"type": "null", "fill_value": 0.0},
+            dycore_config={"k_split": 1, "n_split": 1, "hydrostatic": True},
+            diagnostics_config={
+                "path": str(tmp_path / "out"),
+                "output_frequency": 10,
+            },
+            safety_checks=[],
+        )
+    )
+    d = Driver(cfg)
+    d.step_all()
+    d.cleanup()
+
+
+def test_driver_pair_debug(tmp_path):
+    from pace_tpu.driver.config import DriverConfig
+    from pace_tpu.driver.driver import Driver
+
+    cfg = DriverConfig.from_dict(
+        dict(
+            nx_tile=12,
+            nz=4,
+            layout=[1, 1],
+            dt_atmos=60.0,
+            minutes=2,
+            pair_debug=True,
+            dycore_config={"k_split": 1, "n_split": 1, "hydrostatic": True},
+            diagnostics_config={
+                "path": str(tmp_path / "out"),
+                "output_frequency": 10,
+            },
+        )
+    )
+    d = Driver(cfg)
+    d.step_all()  # identical replicas must not diverge
+    d.cleanup()
