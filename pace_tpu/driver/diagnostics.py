@@ -2,10 +2,12 @@
 
 TPU-native analog of the reference DiagnosticsConfig/MonitorDiagnostics/
 ZSelect (driver/pace/driver/diagnostics.py:25-249) and ndsl.monitor
-(ZarrMonitor/NetCDFMonitor, SURVEY.md §2.2). This environment ships neither
-zarr nor netCDF4, so the Monitor writes HDF5 (h5py) with the same layout
-semantics as the reference's time-chunked store: one dataset per variable,
-extended along a leading time axis; grid lat/lon written once as constants.
+(ZarrMonitor/NetCDFMonitor, SURVEY.md §2.2). Three store backends selected by
+``output_format``: ``zarr`` (v2 directory format, written directly — the
+reference's primary monitor), ``netcdf`` (classic NetCDF-3, gathered and
+time-chunked like the reference NetCDFMonitor), and ``hdf5`` (h5py). Layout
+semantics are shared: one dataset per variable extended along a leading time
+axis; grid lat/lon written once as constants.
 """
 
 from __future__ import annotations
@@ -56,16 +58,116 @@ class NullDiagnostics:
         pass
 
 
-class MonitorDiagnostics:
-    def __init__(self, config: DiagnosticsConfig, mt, n_halo: int):
+class _HDF5Store:
+    def __init__(self, path: str):
         import h5py
 
+        self.file = h5py.File(os.path.join(path, "diagnostics.h5"), "w")
+
+    def append_time(self, name, it, arr):
+        if name not in self.file:
+            self.file.create_dataset(
+                name,
+                shape=(0,) + arr.shape,
+                maxshape=(None,) + arr.shape,
+                dtype="f4",
+                chunks=(1,) + arr.shape,
+            )
+        ds = self.file[name]
+        ds.resize(it + 1, axis=0)
+        ds[it] = arr
+
+    def write_constant(self, name, arr):
+        self.file.create_dataset(name, data=np.asarray(arr, dtype=np.float32))
+
+    def flush(self):
+        self.file.flush()
+
+    def close(self):
+        self.file.close()
+
+
+class _ZarrStore:
+    """Reference ZarrMonitor analog (per-variable chunked arrays; the v2
+    directory format is written directly — see pace_tpu.utils.zarr_v2)."""
+
+    def __init__(self, path: str):
+        from ..utils.zarr_v2 import ZarrGroup
+
+        self.group = ZarrGroup(path)
+
+    def append_time(self, name, it, arr):
+        self.group.append_time(name, it, arr)
+
+    def write_constant(self, name, arr):
+        self.group.write_constant(name, arr)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
+class _NetCDFStore:
+    """Reference NetCDFMonitor analog: buffered in memory, written as one
+    classic NetCDF-3 file with an unlimited time axis at cleanup."""
+
+    def __init__(self, path: str):
+        self.path = os.path.join(path, "diagnostics.nc")
+        self._times = {}
+        self._consts = {}
+
+    def append_time(self, name, it, arr):
+        self._times.setdefault(name, []).append(np.asarray(arr, np.float32))
+
+    def write_constant(self, name, arr):
+        self._consts[name] = np.asarray(arr, dtype=np.float32)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        from ..utils import netcdf3
+
+        dims = {"time": None}
+        variables = {}
+        for name, recs in self._times.items():
+            arr = np.stack(recs)
+            dnames = ["time"]
+            for ax, sz in enumerate(arr.shape[1:]):
+                dn = f"{name}_d{ax}"
+                dims[dn] = int(sz)
+                dnames.append(dn)
+            variables[name] = netcdf3.Variable(tuple(dnames), arr)
+        for name, arr in self._consts.items():
+            dnames = []
+            for ax, sz in enumerate(arr.shape):
+                dn = f"{name}_d{ax}"
+                dims[dn] = int(sz)
+                dnames.append(dn)
+            variables[name] = netcdf3.Variable(tuple(dnames), arr)
+        netcdf3.write(
+            self.path,
+            netcdf3.NetCDF3File(dims=dims, variables=variables, attrs={}),
+        )
+
+
+_STORES = {"hdf5": _HDF5Store, "zarr": _ZarrStore, "netcdf": _NetCDFStore}
+
+
+class MonitorDiagnostics:
+    def __init__(self, config: DiagnosticsConfig, mt, n_halo: int):
         self.config = config
         self.h = n_halo
         os.makedirs(config.path, exist_ok=True)
-        self.file = h5py.File(os.path.join(config.path, "diagnostics.h5"), "w")
+        if config.output_format not in _STORES:
+            raise ValueError(
+                f"unknown output_format {config.output_format!r}; choose "
+                f"from {sorted(_STORES)}"
+            )
+        self.store_backend = _STORES[config.output_format](config.path)
         self.times: List[float] = []
-        del h5py
         del mt
 
     def _interior(self, arr) -> np.ndarray:
@@ -108,28 +210,20 @@ class MonitorDiagnostics:
                 self._append(
                     f"{name}_z{zs.level}", it, lvl[..., self.h : -self.h, self.h : -self.h]
                 )
-        self.file.flush()
+        self.store_backend.flush()
 
     def _append(self, name: str, it: int, arr: np.ndarray):
-        if name not in self.file:
-            self.file.create_dataset(
-                name,
-                shape=(0,) + arr.shape,
-                maxshape=(None,) + arr.shape,
-                dtype="f4",
-                chunks=(1,) + arr.shape,
-            )
-        ds = self.file[name]
-        ds.resize(it + 1, axis=0)
-        ds[it] = arr
+        self.store_backend.append_time(name, it, np.asarray(arr, np.float32))
 
     def store_grid(self, mt):
         """Grid lat/lon as constants (reference diagnostics.py:199-207)."""
         h = self.h
-        self.file.create_dataset("lat", data=mt.lat_agrid[:, h:-h, h:-h])
-        self.file.create_dataset("lon", data=mt.lon_agrid[:, h:-h, h:-h])
+        self.store_backend.write_constant("lat", mt.lat_agrid[:, h:-h, h:-h])
+        self.store_backend.write_constant("lon", mt.lon_agrid[:, h:-h, h:-h])
 
     def cleanup(self):
         if self.times:
-            self.file.create_dataset("time", data=np.asarray(self.times))
-        self.file.close()
+            self.store_backend.write_constant(
+                "time", np.asarray(self.times, dtype=np.float32)
+            )
+        self.store_backend.close()
