@@ -110,6 +110,10 @@ class DriverConfig:
     seconds: int = 0
     pair_debug: bool = False
     precision: int = 32
+    #: run just the dycore even when physics schemes are configured
+    #: (reference driver.py:126,508; dry convective adjustment still runs)
+    dycore_only: bool = False
+    disable_step_physics: bool = False
 
     @property
     def total_time_seconds(self) -> float:

@@ -81,11 +81,21 @@ class Driver:
             self.state_pair = self.state
 
         self.physics = None
-        if config.physics_config.schemes:
+        run_physics = (
+            config.physics_config.schemes
+            and not config.dycore_only
+            and not config.disable_step_physics
+        )
+        # dry convective adjustment runs even dycore_only (reference
+        # driver.py:165: do_dry_convective_adjustment or not dycore_only)
+        if run_physics or config.dycore_config.fv_sg_adj > 0:
             from ..models.shield.physics import Physics
 
             self.physics = Physics(
-                self.grid_data, config.physics_config.schemes, config.dt_atmos
+                self.grid_data,
+                config.physics_config.schemes if run_physics else (),
+                config.dt_atmos,
+                fv_sg_adj=config.dycore_config.fv_sg_adj,
             )
 
         self.diagnostics = config.diagnostics_config.diagnostics_factory(

@@ -21,6 +21,9 @@ class GeneratedGridConfig:
     dy_const: float = 1000.0
     deglat: float = 15.0
     eta_file: Optional[str] = None
+    #: FRE-NCtools supergrid tile files for type="external": a format string
+    #: with {tile} (1..6), reference ExternalNetcdfGridConfig analog
+    tile_paths: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,9 +41,10 @@ class GridConfig:
     def get_metric_terms(
         self, nx_tile: int, nz: int, layout: Tuple[int, int]
     ) -> MetricTerms:
-        if self.type != "generated":
+        if self.type not in ("generated", "external"):
             raise NotImplementedError(
-                f"grid source {self.type!r} not implemented (choose 'generated')"
+                f"grid source {self.type!r} not implemented "
+                "(choose 'generated' or 'external')"
             )
         c = self.config
         spec = GridSpec(
@@ -55,4 +59,10 @@ class GridConfig:
             dy_const=c.dy_const,
             deglat=c.deglat,
         )
+        if self.type == "external":
+            if c.tile_paths is None:
+                raise ValueError("external grid requires tile_paths")
+            return MetricTerms.from_external(
+                c.tile_paths, spec, eta_file=c.eta_file
+            )
         return MetricTerms.generate(spec, eta_file=c.eta_file)

@@ -84,11 +84,79 @@ def update_atmosphere_state(state: DycoreState, phy: PhysicsState) -> DycoreStat
     return dataclasses.replace(state, q=q, pt=pt_new)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TendencyState:
+    """Physics wind/temperature tendencies on the A grid (reference
+    ``TendencyState`` with u_dt/v_dt/pt_dt, driver/pace/driver/state.py:52-61)."""
+
+    u_dt: jnp.ndarray
+    v_dt: jnp.ndarray
+    pt_dt: jnp.ndarray
+
+    @classmethod
+    def init_zeros(cls, like) -> "TendencyState":
+        z = jnp.zeros_like(like)
+        return cls(u_dt=z, v_dt=z, pt_dt=z)
+
+
+def dry_convective_adjustment(pt, q, delp, dt: float, tau: float,
+                              n_sweeps: int = 2):
+    """fv_sg_adj: relax statically unstable columns toward a mixed state
+    (reference DycoreToPhysics do_dry_convective_adjust, driven by the
+    fv_sg_adj namelist timescale; reference fv_subgrid_z mixes T/q/winds —
+    winds are left untouched here and noted as a difference).
+
+    ``pt`` is virtual potential temperature (S, K, Y, X) with k increasing
+    DOWNWARD; instability = theta_v increasing with k. Red-black pairwise
+    mass-weighted mixing of adjacent layers, ``n_sweeps`` passes, relaxed
+    with factor min(1, dt/tau).
+    """
+    relax = min(1.0, dt / max(tau, 1e-30))
+    pt0, q0 = pt, q
+
+    def mix_pair(pt, q, k0):
+        up = pt[..., k0:-1:2, :, :]
+        lo = pt[..., k0 + 1 :: 2, :, :]
+        n = min(up.shape[-3], lo.shape[-3])
+        up, lo = up[..., :n, :, :], lo[..., :n, :, :]
+        m_u = delp[..., k0 : k0 + 2 * n : 2, :, :][..., :n, :, :]
+        m_l = delp[..., k0 + 1 : k0 + 1 + 2 * n : 2, :, :][..., :n, :, :]
+        unstable = up < lo  # theta_v growing downward = unstable
+        mixed = (up * m_u + lo * m_l) / (m_u + m_l)
+        new_up = jnp.where(unstable, mixed, up)
+        new_lo = jnp.where(unstable, mixed, lo)
+        pt = pt.at[..., k0 : k0 + 2 * n : 2, :, :].set(new_up)
+        pt = pt.at[..., k0 + 1 : k0 + 1 + 2 * n : 2, :, :].set(new_lo)
+        # mix the tracer block with the same mass weights where unstable
+        qu = q[..., k0 : k0 + 2 * n : 2, :, :][..., :n, :, :]
+        ql_ = q[..., k0 + 1 : k0 + 1 + 2 * n : 2, :, :][..., :n, :, :]
+        mu = m_u[:, None] if q.ndim == pt.ndim + 1 else m_u
+        ml = m_l[:, None] if q.ndim == pt.ndim + 1 else m_l
+        uns_q = unstable[:, None] if q.ndim == pt.ndim + 1 else unstable
+        qmix = (qu * mu + ql_ * ml) / (mu + ml)
+        q = q.at[..., k0 : k0 + 2 * n : 2, :, :].set(
+            jnp.where(uns_q, qmix, qu)
+        )
+        q = q.at[..., k0 + 1 : k0 + 1 + 2 * n : 2, :, :].set(
+            jnp.where(uns_q, qmix, ql_)
+        )
+        return pt, q
+
+    for _ in range(n_sweeps):
+        pt, q = mix_pair(pt, q, 0)
+        pt, q = mix_pair(pt, q, 1)
+    pt = pt0 + relax * (pt - pt0)
+    q = q0 + relax * (q - q0)
+    return pt, q
+
+
 class Physics:
     """Reference ``pySHiELD.Physics`` analog; currently GFS_microphysics only
     (matching the reference's integration status, docs/physics/index.rst:5-8)."""
 
-    def __init__(self, grid, schemes, timestep: float, config=None):
+    def __init__(self, grid, schemes, timestep: float, config=None,
+                 fv_sg_adj: float = 0.0):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -97,12 +165,18 @@ class Physics:
         self.schemes = tuple(schemes)
         self.timestep = float(timestep)
         self.config = config or MicrophysicsConfig()
+        self.fv_sg_adj = float(fv_sg_adj)
         self._call = jax.jit(self._call_impl)
 
     def __call__(self, state: DycoreState) -> DycoreState:
         return self._call(state)
 
     def _call_impl(self, state: DycoreState) -> DycoreState:
+        if self.fv_sg_adj > 0.0:
+            pt_adj, q_adj = dry_convective_adjustment(
+                state.pt, state.q, state.delp, self.timestep, self.fv_sg_adj
+            )
+            state = dataclasses.replace(state, pt=pt_adj, q=q_adj)
         if "GFS_microphysics" not in self.schemes:
             return state
         phy = dycore_to_physics(state)
