@@ -128,6 +128,11 @@ class Driver:
 
         n = self.config.n_timesteps
         logger.info("running %d steps of dt=%s s", n, self.config.dt_atmos)
+        profiler = self.config.performance_config.build_profiler()
+        if profiler is not None:
+            profiler.enable()
+        if self.config.performance_config.profile_dir:
+            jax.profiler.start_trace(self.config.performance_config.profile_dir)
         ctx = jax.disable_jit() if self._eager else contextlib.nullcontext()
         with ctx:
             if self.config.diagnostics_config.output_initial_state:
@@ -149,6 +154,13 @@ class Driver:
                 self.time_seconds += self.config.dt_atmos
                 self._step_count += 1
                 self._end_of_step_actions()
+        if self.config.performance_config.profile_dir:
+            jax.profiler.stop_trace()
+        if profiler is not None:
+            profiler.disable()
+            prof_path = f"{self.config.performance_config.experiment_name}.prof"
+            profiler.dump_stats(prof_path)
+            logger.info("cProfile written to %s", prof_path)
         if self.config.comm_config.type == "write":
             self.halo.save(self.config.comm_config.path)
             logger.info(

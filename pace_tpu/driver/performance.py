@@ -58,15 +58,29 @@ def get_sypd(mainloop_seconds_per_step: float, dt_atmos: float) -> float:
 
 @dataclasses.dataclass
 class PerformanceConfig:
-    """Reference analog: PerformanceConfig.build -> PerformanceCollector."""
+    """Reference analog: PerformanceConfig.build -> PerformanceCollector
+    (+ build_profiler cProfile integration, driver.py:411,667-679, and the
+    CUDA-profiler/NVTX hooks whose TPU analog is the jax.profiler trace)."""
 
     collect_performance: bool = True
     collect_communication: bool = False
     experiment_name: str = "experiment"
     json_all_rank_threshold: int = 100
+    #: dump a cProfile of the mainloop to {experiment_name}.prof
+    collect_cprofile: bool = False
+    #: write a TensorBoard-compatible device trace (jax.profiler) here
+    profile_dir: str = ""
 
     def build(self) -> "PerformanceCollector":
         return PerformanceCollector(self)
+
+    def build_profiler(self):
+        """cProfile profiler or None (reference build_profiler analog)."""
+        if not self.collect_cprofile:
+            return None
+        import cProfile
+
+        return cProfile.Profile()
 
 
 class PerformanceCollector:

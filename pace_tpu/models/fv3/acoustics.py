@@ -142,16 +142,21 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     hydro = config.hydrostatic
     u_x, v_x = halo.update_vector(u, v, kind="dgrid", fold="x")
     u_y, v_y = halo.update_vector(u, v, kind="dgrid", fold="y")
-    delp_x = halo.update_scalar(delp, fold="x")
-    delp_y = halo.update_scalar(delp, fold="y")
-    pt_x = halo.update_scalar(pt, fold="x")
-    pt_y = halo.update_scalar(pt, fold="y")
+    # batched scalar exchanges: one region-op pass per fold for all fields
     w_x = w_y = None
-    if w is not None:
-        w_x = halo.update_scalar(w, fold="x")
-        w_y = halo.update_scalar(w, fold="y")
-    if delz is not None:
-        delz = halo.update_scalar(delz, fold="x")
+    if w is not None and delz is not None:
+        delp_x, pt_x, w_x, delz = halo.update_scalars(
+            [delp, pt, w, delz], fold="x"
+        )
+        delp_y, pt_y, w_y = halo.update_scalars([delp, pt, w], fold="y")
+    else:
+        delp_x, pt_x = halo.update_scalars([delp, pt], fold="x")
+        delp_y, pt_y = halo.update_scalars([delp, pt], fold="y")
+        if w is not None:
+            w_x = halo.update_scalar(w, fold="x")
+            w_y = halo.update_scalar(w, fold="y")
+        if delz is not None:
+            delz = halo.update_scalar(delz, fold="x")
 
     # --- C-grid half step + its pressure gradient
     if checkpointer is not None:

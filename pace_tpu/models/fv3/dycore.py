@@ -18,7 +18,12 @@ import jax.numpy as jnp
 
 from ... import constants
 from ...ops.d_sw import DSWConfig
-from ...ops.remapping import pe_at_u_points, pe_at_v_points, remap_field
+from ...ops.remapping import (
+    pe_at_u_points,
+    pe_at_v_points,
+    remap_field,
+    remap_field_best,
+)
 from ...ops.tracer_advection import advect_tracers
 from .acoustics import AcousticConfig, acoustic_loop
 from .state import DycoreState
@@ -205,9 +210,48 @@ class DynamicalCore:
                 )
 
             # --- vertical remap back to the hybrid reference coordinate
+            if cfg.consv_te > 0.0:
+                from ...ops.dycore_extras import total_energy_columns
+
+                # Lagrangian-surface pkz estimate for the pre-remap energy
+                pe1b = grid.ptop + jnp.cumsum(delp, axis=-3)
+                top1 = jnp.full_like(pe1b[..., :1, :, :], grid.ptop)
+                peln1 = jnp.log(jnp.concatenate([top1, pe1b], axis=-3))
+                pk1 = jnp.exp(
+                    constants.KAPPA * (peln1 - jnp.log(constants.P_REF))
+                )
+                pkz1 = (pk1[..., 1:, :, :] - pk1[..., :-1, :, :]) / (
+                    constants.KAPPA
+                    * (peln1[..., 1:, :, :] - peln1[..., :-1, :, :])
+                )
+                te1 = total_energy_columns(u, v, w, delp, pt, pkz1, phis)
             u, v, w, delz, delp, pt, q, pe, peln, pk, pkz, ps = self._remap(
                 u, v, w, delz, delp, pt, q
             )
+            if cfg.consv_te > 0.0:
+                # global total-energy fixer (reference consv_te in the
+                # Remapping stage): return the remap's column energy change
+                # as uniform heating, scaled by consv_te
+                te2 = total_energy_columns(u, v, w, delp, pt, pkz, phis)
+                dT_col = (
+                    cfg.consv_te
+                    * (te1 - te2)
+                    / (constants.CV_AIR * jnp.sum(delp, axis=-3))
+                )
+                pt = pt + dT_col[..., None, :, :] / pkz
+            if cfg.do_sat_adj:
+                from ...ops.dycore_extras import sat_adjust
+                from .state import TRACER_NAMES
+
+                iv = TRACER_NAMES.index("qvapor")
+                il = TRACER_NAMES.index("qliquid")
+                p_mid = delp / (
+                    peln[..., 1:, :, :] - peln[..., :-1, :, :]
+                )
+                pt, qv2, ql2 = sat_adjust(
+                    pt, q[:, iv], q[:, il], p_mid, pkz, dt_k
+                )
+                q = q.at[:, iv].set(qv2).at[:, il].set(ql2)
             if ckpt is not None:
                 ckpt(
                     "Remapping-Out",
@@ -344,34 +388,41 @@ class DynamicalCore:
         pe2 = ak[None, :, None, None] + bk[None, :, None, None] * ps[:, None]
 
         monotone = True
-        pt = remap_field(pt, pe1, pe2, monotone)
+        pt = remap_field_best(pt, pe1, pe2, monotone)
         if w is not None:
-            w = remap_field(w, pe1, pe2, monotone)
+            w = remap_field_best(w, pe1, pe2, monotone)
         if delz is not None:
             # remap the specific volume (delz per unit mass) conservatively,
             # then rebuild the extensive thickness on the new layers
             dp1 = pe1[..., 1:, :, :] - pe1[..., :-1, :, :]
-            sv = remap_field(delz / dp1, pe1, pe2, monotone)
+            sv = remap_field_best(delz / dp1, pe1, pe2, monotone)
             dp2_l = pe2[..., 1:, :, :] - pe2[..., :-1, :, :]
             delz = sv * dp2_l
         # remap tracers one at a time (reference mapn_tracer loops tracers);
         # the full (S, nq, K, Y, X) remap held multi-GB temporaries at C192
-        q = jnp.moveaxis(
-            jax.lax.map(
-                lambda q1: remap_field(q1, pe1, pe2, monotone),
-                jnp.moveaxis(q, 1, 0),
-            ),
-            0,
-            1,
-        )
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu" and q.dtype == jnp.float32:
+            # the Pallas kernel grid-blocks over (S, nq) directly — peak VMEM
+            # per block is one tracer column block regardless of nq
+            q = remap_field_best(q, pe1[:, None], pe2[:, None], monotone)
+        else:
+            q = jnp.moveaxis(
+                _jax.lax.map(
+                    lambda q1: remap_field(q1, pe1, pe2, monotone),
+                    jnp.moveaxis(q, 1, 0),
+                ),
+                0,
+                1,
+            )
 
         # winds: remap on interface-averaged pressure columns
         pe1_u = pe_at_u_points(pe1)
         pe2_u = pe_at_u_points(pe2)
-        u = remap_field(u, pe1_u, pe2_u, monotone)
+        u = remap_field_best(u, pe1_u, pe2_u, monotone)
         pe1_v = pe_at_v_points(pe1)
         pe2_v = pe_at_v_points(pe2)
-        v = remap_field(v, pe1_v, pe2_v, monotone)
+        v = remap_field_best(v, pe1_v, pe2_v, monotone)
 
         delp = pe2[..., 1:, :, :] - pe2[..., :-1, :, :]
         peln = jnp.log(pe2)

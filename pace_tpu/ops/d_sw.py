@@ -165,16 +165,35 @@ def d_sw(
 
     rarea = grid.rarea
 
+    # vorticity is needed below for the momentum update; computing it here
+    # lets its transport ride the same batched fvtp2d as pt/w
+    vort = absolute_vorticity_centers(u, v, grid)
+    vort_x = halo.update_scalar(vort, fold="x")
+    vort_y = halo.update_scalar(vort, fold="y")
+
     # --- mass fluxes
     fl = fvtp2d(delp_x, delp_y, crx, cry, xfx, yfx, grid.area, config.hord_dp)
     mfx, mfy = halo.sync_vector_interfaces(fl.fx, fl.fy, kind="cgrid")
 
-    # --- heat flux (pt carried with mass fluxes)
+    # sequential per-field transports: a stacked/batched variant was tried
+    # and tripled fvtp2d's transient intermediates, overflowing HBM at C192
+    # npz=79; dispatch overhead is not the bottleneck at production sizes
     fpt = fvtp2d(
         pt_x, pt_y, crx, cry, xfx, yfx, grid.area, config.hord_tm,
         mfx=mfx, mfy=mfy,
     )
     ptfx, ptfy = halo.sync_vector_interfaces(fpt.fx, fpt.fy, kind="cgrid")
+    fv_ = fvtp2d(
+        vort_x, vort_y, crx, cry, xfx, yfx, grid.area, config.hord_vt
+    )
+    vfx, vfy = halo.sync_vector_interfaces(fv_.fx, fv_.fy, kind="cgrid")
+    wfx = wfy = None
+    if w is not None:
+        fw = fvtp2d(
+            w_x, w_y, crx, cry, xfx, yfx, grid.area, config.hord_vt,
+            mfx=mfx, mfy=mfy,
+        )
+        wfx, wfy = halo.sync_vector_interfaces(fw.fx, fw.fy, kind="cgrid")
 
     delp_new = delp + (x_iface_diff(mfx) + y_iface_diff(mfy)) * bcast_k(
         rarea, delp
@@ -186,11 +205,6 @@ def d_sw(
 
     w_new = None
     if w is not None:
-        fw = fvtp2d(
-            w_x, w_y, crx, cry, xfx, yfx, grid.area, config.hord_vt,
-            mfx=mfx, mfy=mfy,
-        )
-        wfx, wfy = halo.sync_vector_interfaces(fw.fx, fw.fy, kind="cgrid")
         if config.damp_w > 0.0:
             dfx, dfy = delnflux(w_x, grid, config.nord, config.damp_w, grid.da_min)
             wfx = wfx + dfx
@@ -202,7 +216,6 @@ def d_sw(
 
     # --- kinetic energy + divergence damping potential at corners
     dtke = kinetic_energy_corners(u, v, ut, vt, grid, dt)
-    vort = absolute_vorticity_centers(u, v, grid)
 
     # del-2 background part, with the sponge profile (d2_bg_k1/k2 boost the
     # top two model levels; reference fv_dynamics sponge convention) and the
@@ -263,12 +276,6 @@ def d_sw(
         chi_edge = grid.da_min_c * d2_edge * divg_d
         chi = chi + (1.0 - bandk) * chin + bandk * chi_edge
     dtke = dtke - chi
-
-    # --- vorticity fluxes via the same transport operator
-    vort_x = halo.update_scalar(vort, fold="x")
-    vort_y = halo.update_scalar(vort, fold="y")
-    fv_ = fvtp2d(vort_x, vort_y, crx, cry, xfx, yfx, grid.area, config.hord_vt)
-    vfx, vfy = halo.sync_vector_interfaces(fv_.fx, fv_.fy, kind="cgrid")
 
     # vorticity del-n damping (reference do_vort_damp/vtdm4: delnflux on the
     # vorticity field, fluxes folded into the vorticity fluxes)

@@ -104,3 +104,58 @@ def neg_adj3(q, delp):
     m_new = jnp.moveaxis(m_up_rev[::-1], 0, -3)
     # any remaining deficit means the whole column is negative; it is clipped
     return m_new / dp
+
+
+def sat_adjust(pt, qv, ql, p_mid, pkz, dt: float, tau_l2v: float = 300.0,
+               tau_v2l: float = 150.0):
+    """Fast saturation adjustment (reference ``SatAdjust3d`` /
+    saturation_adjustment stencil, do_sat_adj + tau_l2v/tau_v2l params,
+    applied during the Remapping stage per SURVEY.md §2.3).
+
+    Relaxes vapor toward liquid saturation with latent heating on the
+    condensation/evaporation timescales. ``pt`` is virtual potential
+    temperature; the adjustment operates on real temperature and rebuilds
+    theta_v with the updated vapor. Returns (pt, qv, ql).
+    """
+    from .. import constants
+    from ..models.shield.microphysics import saturation_mixing_ratio
+
+    lv = constants.HLV
+    cp = constants.CP_AIR
+    t = pt * pkz / (1.0 + constants.ZVIR * qv)
+    qsat = saturation_mixing_ratio(t, p_mid)
+    dqsdt = (
+        qsat * 17.502 * 240.97
+        / (jnp.clip(t - 273.15, -80.0, 50.0) + 240.97) ** 2
+    )
+    excess = (qv - qsat) / (1.0 + (lv / cp) * dqsdt)
+    cond_frac = 1.0 - jnp.exp(-dt / tau_v2l)
+    evap_frac = 1.0 - jnp.exp(-dt / tau_l2v)
+    cond = jnp.where(
+        excess > 0.0,
+        excess * cond_frac,
+        -jnp.minimum(ql, -excess * evap_frac),
+    )
+    qv2 = qv - cond
+    ql2 = ql + cond
+    t2 = t + (lv / cp) * cond
+    pt2 = t2 * (1.0 + constants.ZVIR * qv2) / pkz
+    return pt2, qv2, ql2
+
+
+def total_energy_columns(u, v, w, delp, pt, pkz, phis):
+    """Column-integrated total energy estimate [J/m^2 / g]: internal +
+    kinetic + potential, with winds averaged to cell centers (used by the
+    consv_te global fixer; reference compute_total_energy in the Remapping
+    stage)."""
+    from .. import constants
+
+    t = pt * pkz  # virtual temperature (moisture factor cancels in the diff)
+    u_c = 0.5 * (u[..., :-1, :] + u[..., 1:, :])
+    v_c = 0.5 * (v[..., :, :-1] + v[..., :, 1:])
+    ke = 0.5 * (u_c**2 + v_c**2)
+    if w is not None:
+        ke = ke + 0.5 * w**2
+    e = delp * (constants.CV_AIR * t + ke)
+    te = jnp.sum(e, axis=-3) + phis * jnp.sum(delp, axis=-3)
+    return te

@@ -1,0 +1,153 @@
+"""Pallas TPU kernel for the vertical Lagrangian->Eulerian remap.
+
+The remap is column-local and k-sequential — exactly the shape SURVEY.md §7
+flags for Pallas column kernels: (Y, X) on sublanes/lanes, K resident in VMEM.
+The XLA formulation streams ~70 field-sized intermediates through HBM
+(~0.5 s per call at C192 npz=79); this kernel reads q/pe1/pe2 once, does the
+PPM reconstruction, column integral, interval location and evaluation
+entirely on-chip, and writes the result once — ~4 HBM passes total.
+
+Numerics match pace_tpu.ops.remapping.remap_field (same reconstruction,
+same cumulative-integral evaluation): monotone (CW84-limited) PPM, exact
+conservation, interval location by comparison counting with the bounded-
+offset evaluation window. Dynamic k-indexing goes through VMEM scratch refs
+(Pallas TPU has no value-level dynamic_slice/cumsum lowerings).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ppm import _al_limited, _al_unlimited, _monotone_limit
+
+#: max vertical displacement (cells) between source and target interfaces
+D_OFFSET = 5
+
+
+def _remap_kernel(
+    pe1_ref, pe2_ref, q_ref, out_ref,
+    al_s, da_s, a6_s, dp1_s, pe1t_s, q1_s, qdp_s,
+    *, monotone: bool,
+):
+    pe1 = pe1_ref[0]  # (K1, BY, BX)
+    q = q_ref[0]  # (K, BY, BX)
+    K = q.shape[0]
+    K2 = pe2_ref.shape[1]
+    dp1 = pe1[1:] - pe1[:-1]
+
+    def shift(a, n):
+        return jnp.roll(a, -n, axis=0)
+
+    al = _al_limited(q, shift) if monotone else _al_unlimited(q, shift)
+    bl = al - q
+    br = shift(al, 1) - q
+    if monotone:
+        bl, br = _monotone_limit(q, bl, br)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+    edge = (kidx <= 1) | (kidx >= K - 2)
+    bl = jnp.where(edge, 0.0, bl)
+    br = jnp.where(edge, 0.0, br)
+
+    # stash the per-cell reconstruction in scratch refs so the j-loop can
+    # read them at dynamic k
+    al_s[...] = q + bl
+    da_s[...] = br - bl
+    a6_s[...] = -3.0 * (bl + br)
+    dp1_s[...] = dp1
+    pe1t_s[...] = pe1[:-1]  # top interface of each source cell
+    pe1_bot = pe1[1:]  # bottom interface of each source cell
+
+    # cumulative column integral Q1 at source-cell TOPS: Q1[k] = sum_{m<k}.
+    # q*dp goes through a scratch ref — value-level dynamic indexing has no
+    # Pallas TPU lowering
+    qdp_s[...] = q * dp1
+
+    def cum_body(k, acc):
+        q1_s[pl.ds(k, 1)] = acc[None]
+        return acc + qdp_s[k]
+
+    final = jax.lax.fori_loop(
+        0, K, cum_body, jnp.zeros(q.shape[1:], q.dtype)
+    )
+    del final
+
+    def interface_integral(j):
+        """Q(pe2[j]) — cumulative integral at target interface j."""
+        p = pe2_ref[0, j]  # (BY, BX)
+        m = jnp.sum((pe1_bot <= p[None]).astype(jnp.int32), axis=0)
+        m = jnp.clip(m, 0, K - 1)
+        base = jnp.clip(j - 1, 0, K - 1)
+        off = jnp.clip(m - base, -D_OFFSET, D_OFFSET)
+        acc = jnp.zeros_like(p)
+        for o in range(-D_OFFSET, D_OFFSET + 1):
+            kk = jnp.clip(base + o, 0, K - 1)
+            sel = off == o
+            pe1_m = pe1t_s[kk]
+            dp1_m = dp1_s[kk]
+            t = jnp.clip((p - pe1_m) / dp1_m, 0.0, 1.0)
+            f = al_s[kk] * t + 0.5 * da_s[kk] * t**2 + a6_s[kk] * (
+                0.5 * t**2 - t**3 / 3.0
+            )
+            acc = jnp.where(sel, q1_s[kk] + dp1_m * f, acc)
+        return acc
+
+    def body(j, q_prev):
+        q_here = interface_integral(j + 1)
+        dp2 = pe2_ref[0, j + 1] - pe2_ref[0, j]
+        out_ref[0, j] = (q_here - q_prev) / dp2
+        return q_here
+
+    q_top = jnp.zeros(q.shape[1:], q.dtype)
+    jax.lax.fori_loop(0, K2 - 1, body, q_top)
+
+
+@functools.partial(jax.jit, static_argnames=("monotone", "interpret"))
+def remap_field_pallas(q, pe1, pe2, monotone: bool = True,
+                       interpret: bool = False):
+    """Drop-in for remap_field on TPU: q (..., K, Y, X), pe1/pe2
+    (..., K+1, Y, X) -> (..., K2-1, Y, X)."""
+    lead = q.shape[:-3]
+    K = q.shape[-3]
+    K1 = pe1.shape[-3]
+    K2 = pe2.shape[-3]
+    Y, X = q.shape[-2:]
+    L = 1
+    for d in lead:
+        L *= d
+    qf = q.reshape((L, K, Y, X))
+    pe1f = jnp.broadcast_to(pe1, lead + pe1.shape[-3:]).reshape((L, K1, Y, X))
+    pe2f = jnp.broadcast_to(pe2, lead + pe2.shape[-3:]).reshape((L, K2, Y, X))
+
+    BY, BX = 16, 128
+    ny = pl.cdiv(Y, BY)
+    nx = pl.cdiv(X, BX)
+
+    out = pl.pallas_call(
+        functools.partial(_remap_kernel, monotone=monotone),
+        out_shape=jax.ShapeDtypeStruct((L, K2 - 1, Y, X), q.dtype),
+        grid=(L, ny, nx),
+        in_specs=[
+            pl.BlockSpec((1, K1, BY, BX), lambda l, i, j: (l, 0, i, j)),
+            pl.BlockSpec((1, K2, BY, BX), lambda l, i, j: (l, 0, i, j)),
+            pl.BlockSpec((1, K, BY, BX), lambda l, i, j: (l, 0, i, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, K2 - 1, BY, BX), lambda l, i, j: (l, 0, i, j)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, BY, BX), q.dtype),  # al
+            pltpu.VMEM((K, BY, BX), q.dtype),  # da
+            pltpu.VMEM((K, BY, BX), q.dtype),  # a6
+            pltpu.VMEM((K, BY, BX), q.dtype),  # dp1
+            pltpu.VMEM((K, BY, BX), q.dtype),  # pe1 tops
+            pltpu.VMEM((K, BY, BX), q.dtype),  # Q1 at tops
+            pltpu.VMEM((K, BY, BX), q.dtype),  # q*dp
+        ],
+        interpret=interpret,
+    )(pe1f, pe2f, qf)
+    return out.reshape(lead + (K2 - 1, Y, X))

@@ -417,6 +417,10 @@ class HaloExchanger:
         """Fill ghost cells of a scalar field ``q``: (S, ..., Y, X) -> same."""
         return self._slabs.update_scalar(q, stagger=stagger, fold=fold)
 
+    def update_scalars(self, qs, stagger: str = "center", fold: str = "x"):
+        """Batched multi-field scalar update (one region-op pass for all)."""
+        return self._slabs.update_scalars(qs, stagger=stagger, fold=fold)
+
     def update_scalar_tables(self, q, stagger: str = "center", fold: str = "x"):
         """Gather-table reference implementation (slow on TPU; oracle)."""
         tbl = self.scalar_table(stagger, fold)

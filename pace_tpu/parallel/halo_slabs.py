@@ -44,6 +44,7 @@ class _RegionOp:
     perm: np.ndarray  # (S,) source shard per destination shard
     klass_of_shard: np.ndarray  # (S,) index into classes
     classes: Tuple[_Class, ...]
+    name: str = ""  # ghost-region name (W/E/S/N/SW/SE/NW/NE)
 
 
 def _fit_transform(jj, ii, sj, si):
@@ -161,7 +162,7 @@ class SlabHalo:
                 klass[s] = classes.index(c)
             (r0, r1), (c0, c1) = rect
             ops.append(
-                _RegionOp((r0, r1, c0, c1), perm, klass, tuple(classes))
+                _RegionOp((r0, r1, c0, c1), perm, klass, tuple(classes), name)
             )
         return ops
 
@@ -195,7 +196,7 @@ class SlabHalo:
                     klass[s] = classes.index(c)
                 (r0, r1), (c0, c1) = rect
                 ops.append(
-                    _RegionOp((r0, r1, c0, c1), perm, klass, tuple(classes))
+                    _RegionOp((r0, r1, c0, c1), perm, klass, tuple(classes), name)
                 )
             out[comp] = ops
         return out
@@ -204,8 +205,7 @@ class SlabHalo:
     # application
     # ------------------------------------------------------------------
     @staticmethod
-    def _apply_op(q, op: _RegionOp, srcs: Dict[str, jnp.ndarray]):
-        r0, r1, c0, c1 = op.dst_rect
+    def _compute_slab(op: _RegionOp, srcs: Dict[str, jnp.ndarray]):
         slab = None
         for cid, c in enumerate(op.classes):
             src_all = srcs[c.src_comp]
@@ -224,26 +224,61 @@ class SlabHalo:
                     (-1,) + (1,) * (cand.ndim - 1)
                 )
                 slab = jnp.where(mask, cand, slab)
-        return q.at[..., r0:r1, c0:c1].set(slab)
+        return slab
+
+    @classmethod
+    def _apply_op(cls, q, op: _RegionOp, srcs: Dict[str, jnp.ndarray]):
+        r0, r1, c0, c1 = op.dst_rect
+        return q.at[..., r0:r1, c0:c1].set(cls._compute_slab(op, srcs))
+
+    @classmethod
+    def _assemble(cls, q, ops: List[_RegionOp], srcs: Dict[str, jnp.ndarray]):
+        """Build the updated array in ONE concatenation tree instead of eight
+        sequential dynamic-update-slices (each of which costs a full-array
+        copy pass on TPU): rows = [SW S SE; W interior E; NW N NE]."""
+        by_name = {op.name: cls._compute_slab(op, srcs) for op in ops}
+        # interior rect from the W/E op rows and S/N op cols
+        w = next(op for op in ops if op.name == "W")
+        s_ = next(op for op in ops if op.name == "S")
+        r0, r1 = w.dst_rect[0], w.dst_rect[1]
+        c0, c1 = s_.dst_rect[2], s_.dst_rect[3]
+        mid = jnp.concatenate(
+            [by_name["W"], q[..., r0:r1, c0:c1], by_name["E"]], axis=-1
+        )
+        top = jnp.concatenate(
+            [by_name["SW"], by_name["S"], by_name["SE"]], axis=-1
+        )
+        bot = jnp.concatenate(
+            [by_name["NW"], by_name["N"], by_name["NE"]], axis=-1
+        )
+        return jnp.concatenate([top, mid, bot], axis=-2)
 
     def update_scalar(self, q, stagger: str = "center", fold: str = "x"):
         key = (stagger, fold)
         if key not in self._scalar_ops:
             self._scalar_ops[key] = self._build_scalar_ops(stagger, fold)
-        for op in self._scalar_ops[key]:
-            q = self._apply_op(q, op, {"q": q})
-        return q
+        return self._assemble(q, self._scalar_ops[key], {"q": q})
+
+    def update_scalars(self, qs, stagger: str = "center", fold: str = "x"):
+        """Update several same-shaped scalar fields in ONE pass of region ops:
+        the fields are stacked on a new axis so the per-region gather/rot/
+        select/update-slice chain runs once over the whole block — the op
+        count (and TPU kernel count) is that of a single field."""
+        qs = list(qs)
+        if len(qs) == 1:
+            return [self.update_scalar(qs[0], stagger=stagger, fold=fold)]
+        stacked = jnp.stack(qs, axis=1)  # (S, nf, ...)
+        out = self.update_scalar(stacked, stagger=stagger, fold=fold)
+        return [out[:, i] for i in range(len(qs))]
 
     def update_vector(self, u, v, kind: str = "dgrid", fold: str = "x"):
         key = (kind, fold)
         if key not in self._vector_ops:
             self._vector_ops[key] = self._build_vector_ops(kind, fold)
         ops = self._vector_ops[key]
-        u_new, v_new = u, v
-        for op in ops["u"]:
-            u_new = self._apply_op(u_new, op, {"u": u, "v": v})
-        for op in ops["v"]:
-            v_new = self._apply_op(v_new, op, {"u": u, "v": v})
+        srcs = {"u": u, "v": v}
+        u_new = self._assemble(u, ops["u"], srcs)
+        v_new = self._assemble(v, ops["v"], srcs)
         return u_new, v_new
 
     # ------------------------------------------------------------------

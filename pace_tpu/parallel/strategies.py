@@ -63,6 +63,9 @@ class ConstantFillHalo:
     def update_scalar(self, q, stagger: str = "center", fold: str = "x"):
         return self._fill(q, stagger)
 
+    def update_scalars(self, qs, stagger: str = "center", fold: str = "x"):
+        return [self._fill(q, stagger) for q in qs]
+
     def update_vector(self, u, v, kind: str = "dgrid", fold: str = "x"):
         return self._fill(u, kind), self._fill(v, kind)
 
@@ -99,6 +102,11 @@ class RecordingHalo:
         out = self._real.update_scalar(q, stagger=stagger, fold=fold)
         self._record(f"scalar:{stagger}:{fold}", out)
         return out
+
+    def update_scalars(self, qs, stagger: str = "center", fold: str = "x"):
+        return [
+            self.update_scalar(q, stagger=stagger, fold=fold) for q in qs
+        ]
 
     def update_vector(self, u, v, kind: str = "dgrid", fold: str = "x"):
         uo, vo = self._real.update_vector(u, v, kind=kind, fold=fold)
@@ -154,6 +162,11 @@ class ReplayHalo:
     def update_scalar(self, q, stagger: str = "center", fold: str = "x"):
         return self._next(f"scalar:{stagger}:{fold}")
 
+    def update_scalars(self, qs, stagger: str = "center", fold: str = "x"):
+        return [
+            self.update_scalar(q, stagger=stagger, fold=fold) for q in qs
+        ]
+
     def update_vector(self, u, v, kind: str = "dgrid", fold: str = "x"):
         tag = f"vector:{kind}:{fold}"
         u_out = self._next(tag)
@@ -192,6 +205,11 @@ class NanCheckingHalo:
     def update_scalar(self, q, stagger: str = "center", fold: str = "x"):
         self._check(f"scalar:{stagger}:{fold}", q)
         return self._real.update_scalar(q, stagger=stagger, fold=fold)
+
+    def update_scalars(self, qs, stagger: str = "center", fold: str = "x"):
+        for q in qs:
+            self._check(f"scalars:{stagger}:{fold}", q)
+        return self._real.update_scalars(qs, stagger=stagger, fold=fold)
 
     def update_vector(self, u, v, kind: str = "dgrid", fold: str = "x"):
         self._check(f"vector:{kind}:{fold}", u, v)
