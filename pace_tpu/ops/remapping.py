@@ -115,19 +115,21 @@ def remap_field(q, pe1, pe2, monotone: bool = True):
         Kv = val.shape[-3]
         first = val[..., :1, :, :]
         last = val[..., -1:, :, :]
-        # indices needed: clip(j - 1 + s) for j = 0..K2-1
+        # indices needed: clip(j - 1 + s, 0, Kv-1) for j = 0..K2-1; the index
+        # range [lo, lo+K2) may fall entirely below 0 or above Kv when the
+        # window D exceeds the column depth (small-nz tests)
         lo = -1 + s
-        pads_front = max(0, -lo)
-        sl_start = max(0, lo)
-        sl_stop = min(Kv, lo + K2)
-        core = val[..., sl_start:sl_stop, :, :]
+        pads_front = min(K2, max(0, -lo))
+        pads_back = min(K2 - pads_front, max(0, lo + K2 - Kv))
+        sl_start = min(max(0, lo), Kv)
+        sl_stop = max(sl_start, min(Kv, lo + K2))
         parts = []
         if pads_front:
             parts.extend([first] * pads_front)
-        parts.append(core)
-        n_have = pads_front + (sl_stop - sl_start)
-        if n_have < K2:
-            parts.extend([last] * (K2 - n_have))
+        if sl_stop > sl_start:
+            parts.append(val[..., sl_start:sl_stop, :, :])
+        if pads_back:
+            parts.extend([last] * pads_back)
         return jnp.concatenate(parts, axis=-3) if len(parts) > 1 else parts[0]
 
     pe1_m = jnp.zeros_like(pe2)
