@@ -151,6 +151,10 @@ HLF = CONST.HLF
 OMEGA = CONST.OMEGA
 CP_VAPOR = CONST.CP_VAPOR
 CV_VAPOR = CONST.CV_VAPOR
+#: specific heat of liquid water [J/kg/K]
+C_LIQ = 4185.5
+#: specific heat of ice [J/kg/K]
+C_ICE = 1972.0
 #: reference surface pressure [Pa]
 P_REF = 1.0e5
 #: freezing temperature [K]

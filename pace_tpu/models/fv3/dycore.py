@@ -233,10 +233,15 @@ class DynamicalCore:
                 # Remapping stage): return the remap's column energy change
                 # as uniform heating, scaled by consv_te
                 te2 = total_energy_columns(u, v, w, delp, pt, pkz, phis)
+                # moist heat capacity (reference moist_cv stencils): weight the
+                # column energy deficit by cvm, not dry CV_AIR
+                from ...ops.moist_cv import moist_cv
+
+                cvm, _q_con = moist_cv(q, cfg.nwat)
                 dT_col = (
                     cfg.consv_te
                     * (te1 - te2)
-                    / (constants.CV_AIR * jnp.sum(delp, axis=-3))
+                    / jnp.sum(cvm * delp, axis=-3)
                 )
                 pt = pt + dT_col[..., None, :, :] / pkz
             if cfg.do_sat_adj:
@@ -337,6 +342,7 @@ class DynamicalCore:
         # (reference keeps ua/va/uc/vc in DycoreState for physics coupling and
         # diagnostics; driver/pace/driver/state.py:119-151)
         from ...ops.d2a2c import d2a2c_vect
+        from ...ops.moist_cv import compute_q_con
 
         u_y, _ = halo.update_vector(u, v, kind="dgrid", fold="y")
         _, v_x = halo.update_vector(u, v, kind="dgrid", fold="x")
@@ -371,6 +377,11 @@ class DynamicalCore:
             cxd=cxd,
             cyd=cyd,
             diss_estd=diss_acc if diss_acc is not None else state.diss_estd,
+            q_con=(
+                compute_q_con(q, cfg.nwat)
+                if state.q_con is not None
+                else None
+            ),
         )
 
     def _remap(self, u, v, w, delz, delp, pt, q):
