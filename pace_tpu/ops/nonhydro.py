@@ -168,16 +168,29 @@ def sim1_solver(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
     return w_new, delz_new, pp
 
 
+def sim1_solver_best(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
+    """Backend-dispatched sim1: the Pallas column kernel on TPU float32
+    (whole Thomas solve in VMEM — see sim1_pallas), the lax.scan formulation
+    elsewhere (CPU tests, float64 validation runs)."""
+    if jax.default_backend() == "tpu" and w.dtype == jnp.float32:
+        from .sim1_pallas import sim1_solver_pallas
+
+        return sim1_solver_pallas(
+            w, delz, pt, delp, pkz, ws, float(dt), float(ptop)
+        )
+    return sim1_solver(w, delz, pt, delp, pkz, ws, dt, ptop)
+
+
 def riem_solver3(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
     """D-grid vertical solve (reference riem_solver3)."""
-    w_new, delz_new, pp = sim1_solver(w, delz, pt, delp, pkz, ws, dt, ptop)
+    w_new, delz_new, pp = sim1_solver_best(w, delz, pt, delp, pkz, ws, dt, ptop)
     return w_new, delz_new, pp
 
 
 def riem_solver_c(w, delz, ptc, delpc, pkz, ws, dt2: float, ptop: float):
     """C-grid provisional solve (reference riem_solver_c): returns the full
     nonhydrostatic interface pressure [Pa] and gz for p_grad_c."""
-    _w_new, delz_new, pp = sim1_solver(w, delz, ptc, delpc, pkz, ws, dt2, ptop)
+    _w_new, delz_new, pp = sim1_solver_best(w, delz, ptc, delpc, pkz, ws, dt2, ptop)
     pe_below = ptop + jnp.cumsum(delpc, axis=-3)
     pe = jnp.concatenate(
         [jnp.full_like(pe_below[..., :1, :, :], ptop), pe_below], axis=-3
