@@ -421,6 +421,19 @@ class HaloExchanger:
         """Batched multi-field scalar update (one region-op pass for all)."""
         return self._slabs.update_scalars(qs, stagger=stagger, fold=fold)
 
+    def update_scalar_folds(self, q, stagger: str = "center"):
+        """(q_xfold, q_yfold): both corner-fold variants, one full assembly
+        plus four tiny corner patches (the folds only differ at corners)."""
+        return self._slabs.update_scalar_folds(q, stagger=stagger)
+
+    def update_scalars_folds(self, qs, stagger: str = "center"):
+        """[(qi_xfold, qi_yfold)] batched over several fields."""
+        return self._slabs.update_scalars_folds(qs, stagger=stagger)
+
+    def update_vector_folds(self, u, v, kind: str = "dgrid"):
+        """((u_x, v_x), (u_y, v_y)) — both folds of a vector halo update."""
+        return self._slabs.update_vector_folds(u, v, kind=kind)
+
     def update_scalar_tables(self, q, stagger: str = "center", fold: str = "x"):
         """Gather-table reference implementation (slow on TPU; oracle)."""
         tbl = self.scalar_table(stagger, fold)

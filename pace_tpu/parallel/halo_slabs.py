@@ -29,6 +29,14 @@ import numpy as np
 
 from .halo import _STAGGER_OFFSETS, _VECTOR_KINDS, HaloExchanger
 
+#: ghost-strip application strategy: "concat" rebuilds the array as one
+#: concatenation tree; "dus" applies eight in-place strip updates. Both are
+#: table-oracle-exact; the faster one on TPU is selected by benchmark
+#: (override with PACE_TPU_HALO_ASSEMBLY).
+ASSEMBLY = __import__("os").environ.get("PACE_TPU_HALO_ASSEMBLY", "concat")
+
+_CORNER_NAMES = ("SW", "SE", "NW", "NE")
+
 
 @dataclasses.dataclass(frozen=True)
 class _Class:
@@ -36,6 +44,12 @@ class _Class:
     src_rect: Tuple[int, int, int, int]  # (r0, r1, c0, c1) in source array
     src_comp: str  # "u"/"v" for vectors, "q" for scalars
     sign: float
+
+
+class _SplitNeeded(Exception):
+    """A ghost region is not one rigid single-source copy for every shard
+    (it straddles an internal sub-shard boundary on the source side, or its
+    rotation varies) — the builder splits it and retries."""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,13 +130,15 @@ class SlabHalo:
         assert valid.all()
         s2, sj, si, fy, fx = halo._locate_source(t2, gy2, gx2)
         if not (s2 == s2.flat[0]).all():
-            # interface points exactly on an internal sub-shard boundary were
-            # assigned to the "lower" owner; re-home the whole region into the
-            # majority shard (shared boundary copies are identical by the
-            # sync/exchange invariant).
+            # Mixed source shards. For interface staggers whose points lie
+            # exactly ON an internal sub-shard boundary, the copies are shared
+            # (sync/exchange invariant) and the region can be re-homed into
+            # the majority shard. Otherwise the region genuinely straddles
+            # source shards and must be SPLIT into smaller rigid copies.
+            if stagger == "center" or not (t2 == t2.flat[0]).all():
+                raise _SplitNeeded(rect)
             vals, counts = np.unique(s2, return_counts=True)
             s_major = int(vals[np.argmax(counts)])
-            assert (t2 == t2.flat[0]).all()
             _t, py, px = halo._shard_info(s_major)
             jl = np.floor(gy2).astype(np.int64) - py * halo.nsy
             il = np.floor(gx2).astype(np.int64) - px * halo.nsx
@@ -132,21 +148,45 @@ class SlabHalo:
                 halo.nsy + 2 * halo.n_halo + 1,
                 halo.nsx + 2 * halo.n_halo + 1,
             )
-            assert (sj >= 0).all() and (sj < ny).all()
-            assert (si >= 0).all() and (si < nx).all()
-            # the rehomed points must still be within the source's owned range
-            assert (jl >= 0).all() and (jl <= halo.nsy).all()
-            assert (il >= 0).all() and (il <= halo.nsx).all()
+            ok = (
+                (sj >= 0).all() and (sj < ny).all()
+                and (si >= 0).all() and (si < nx).all()
+                and (jl >= 0).all() and (jl <= halo.nsy).all()
+                and (il >= 0).all() and (il <= halo.nsx).all()
+            )
+            if not ok:
+                raise _SplitNeeded(rect)
             s2 = np.full_like(s2, s_major)
         return jj, ii, int(s2.flat[0]), sj, si, A
 
     # ------------------------------------------------------------------
     # op construction
     # ------------------------------------------------------------------
+    def _region_ops_split(self, name, rect, build_one) -> List[_RegionOp]:
+        """Build the op for ``rect``; on _SplitNeeded bisect (rows first,
+        then columns) and recurse — straddling regions become a few smaller
+        rigid copies (they are at most halo-width sized, so this stays tiny)."""
+        try:
+            return [build_one(name, rect)]
+        except (_SplitNeeded, AssertionError):
+            (r0, r1), (c0, c1) = rect
+            if r1 - r0 > 1:
+                mid = (r0 + r1) // 2
+                halves = [((r0, mid), (c0, c1)), ((mid, r1), (c0, c1))]
+            elif c1 - c0 > 1:
+                mid = (c0 + c1) // 2
+                halves = [((r0, r1), (c0, mid)), ((r0, r1), (mid, c1))]
+            else:
+                raise
+            out = []
+            for h in halves:
+                out.extend(self._region_ops_split(name, h, build_one))
+            return out
+
     def _build_scalar_ops(self, stagger: str, fold: str) -> List[_RegionOp]:
         halo = self.halo
-        ops = []
-        for name, rect in self._ghost_regions(stagger).items():
+
+        def build_one(name, rect):
             perm = np.zeros(halo.n_shards, dtype=np.int32)
             klass = np.zeros(halo.n_shards, dtype=np.int32)
             classes: List[_Class] = []
@@ -161,9 +201,11 @@ class SlabHalo:
                 perm[s] = s2
                 klass[s] = classes.index(c)
             (r0, r1), (c0, c1) = rect
-            ops.append(
-                _RegionOp((r0, r1, c0, c1), perm, klass, tuple(classes), name)
-            )
+            return _RegionOp((r0, r1, c0, c1), perm, klass, tuple(classes), name)
+
+        ops = []
+        for name, rect in self._ghost_regions(stagger).items():
+            ops.extend(self._region_ops_split(name, rect, build_one))
         return ops
 
     def _build_vector_ops(self, kind: str, fold: str):
@@ -174,15 +216,16 @@ class SlabHalo:
         out = {}
         for comp, (loc, direction) in (("u", (loc_u, dir_u)), ("v", (loc_v, dir_v))):
             d = np.asarray(direction)
-            ops = []
-            for name, rect in self._ghost_regions(loc).items():
+
+            def build_one(name, rect):
                 perm = np.zeros(halo.n_shards, dtype=np.int32)
                 klass = np.zeros(halo.n_shards, dtype=np.int32)
                 classes: List[_Class] = []
                 for s in range(halo.n_shards):
                     jj, ii, s2, sj, si, A = self._resolve_region(loc, fold, rect, s)
                     a0 = A.reshape(-1, 2, 2)[0]
-                    assert np.allclose(A, a0), "rotation varies within region"
+                    if not np.allclose(A, a0):
+                        raise _SplitNeeded(rect)  # rotation varies in region
                     img = a0 @ d
                     if abs(img[1]) > 0.5:
                         src_comp, sign = "u", float(np.sign(img[1]))
@@ -195,9 +238,11 @@ class SlabHalo:
                     perm[s] = s2
                     klass[s] = classes.index(c)
                 (r0, r1), (c0, c1) = rect
-                ops.append(
-                    _RegionOp((r0, r1, c0, c1), perm, klass, tuple(classes), name)
-                )
+                return _RegionOp((r0, r1, c0, c1), perm, klass, tuple(classes), name)
+
+            ops = []
+            for name, rect in self._ghost_regions(loc).items():
+                ops.extend(self._region_ops_split(name, rect, build_one))
             out[comp] = ops
         return out
 
@@ -232,7 +277,26 @@ class SlabHalo:
         return q.at[..., r0:r1, c0:c1].set(cls._compute_slab(op, srcs))
 
     @classmethod
+    def _assemble_dus(cls, q, ops: List[_RegionOp], srcs: Dict[str, jnp.ndarray]):
+        """Apply region ops as in-place strip updates (dynamic-update-slices
+        with static indices). XLA updates the buffer in place when the input
+        is dead afterwards; unlike the concat tree this keeps the interior
+        bytes untouched and never shifts the array's lane alignment."""
+        out = q
+        for op in ops:
+            out = cls._apply_op(out, op, srcs)
+        return out
+
+    @classmethod
     def _assemble(cls, q, ops: List[_RegionOp], srcs: Dict[str, jnp.ndarray]):
+        # the concat tree needs exactly the 8 whole regions; split regions
+        # (sub-shard straddles) use the strip-update path
+        if ASSEMBLY == "dus" or len(ops) != 8:
+            return cls._assemble_dus(q, ops, srcs)
+        return cls._assemble_concat(q, ops, srcs)
+
+    @classmethod
+    def _assemble_concat(cls, q, ops: List[_RegionOp], srcs: Dict[str, jnp.ndarray]):
         """Build the updated array in ONE concatenation tree instead of eight
         sequential dynamic-update-slices (each of which costs a full-array
         copy pass on TPU): rows = [SW S SE; W interior E; NW N NE]."""
@@ -280,6 +344,60 @@ class SlabHalo:
         u_new = self._assemble(u, ops["u"], srcs)
         v_new = self._assemble(v, ops["v"], srcs)
         return u_new, v_new
+
+    # ------------------------------------------------------------------
+    # both-folds updates: x and y folds differ ONLY in the four corner
+    # ghost regions, so the y-fold result is the x-fold result with four
+    # tiny (h x h) corner patches re-applied — almost free compared to a
+    # second full assembly.
+    # ------------------------------------------------------------------
+    def _patch_corners(self, base, ops: List[_RegionOp], srcs):
+        out = base
+        for op in ops:
+            if op.name in _CORNER_NAMES:
+                out = self._apply_op(out, op, srcs)
+        return out
+
+    def _scalar_ops_for(self, stagger: str, fold: str):
+        key = (stagger, fold)
+        if key not in self._scalar_ops:
+            self._scalar_ops[key] = self._build_scalar_ops(stagger, fold)
+        return self._scalar_ops[key]
+
+    def update_scalar_folds(self, q, stagger: str = "center"):
+        """(q_xfold, q_yfold). Measured on TPU: deriving the y fold from the
+        x fold by corner patches costs MORE than a second assembly (the
+        patches force a full copy of the still-live x result), so both folds
+        are assembled independently."""
+        ops_x = self._scalar_ops_for(stagger, "x")
+        ops_y = self._scalar_ops_for(stagger, "y")
+        qx = self._assemble(q, ops_x, {"q": q})
+        qy = self._assemble(q, ops_y, {"q": q})
+        return qx, qy
+
+    def update_scalars_folds(self, qs, stagger: str = "center"):
+        """[(qi_xfold, qi_yfold)] for several same-shaped fields, batched."""
+        qs = list(qs)
+        if len(qs) == 1:
+            return [self.update_scalar_folds(qs[0], stagger=stagger)]
+        stacked = jnp.stack(qs, axis=1)
+        ox, oy = self.update_scalar_folds(stacked, stagger=stagger)
+        return [(ox[:, i], oy[:, i]) for i in range(len(qs))]
+
+    def update_vector_folds(self, u, v, kind: str = "dgrid"):
+        """((u_x, v_x), (u_y, v_y)) with the y fold derived by corner patches."""
+        for fold in ("x", "y"):
+            key = (kind, fold)
+            if key not in self._vector_ops:
+                self._vector_ops[key] = self._build_vector_ops(kind, fold)
+        ops_x = self._vector_ops[(kind, "x")]
+        ops_y = self._vector_ops[(kind, "y")]
+        srcs = {"u": u, "v": v}
+        u_x = self._assemble(u, ops_x["u"], srcs)
+        v_x = self._assemble(v, ops_x["v"], srcs)
+        u_y = self._assemble(u, ops_y["u"], srcs)
+        v_y = self._assemble(v, ops_y["v"], srcs)
+        return (u_x, v_x), (u_y, v_y)
 
     # ------------------------------------------------------------------
     # interface sync (thin-line slab ops derived from the sync tables)
