@@ -90,11 +90,14 @@ def acoustic_loop(
 
     track_heat = config.d_sw.d_con > 0.0 or config.d_sw.vtdm4 > 0.0
 
+    # phis is constant over the substeps: exchange its halo once here
+    phis_folds = halo.update_scalar_folds(phis)
+
     def substep(carry, _):
         u, v, w, delp, pt, delz, acc = carry
         res = _one_substep(
             u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, ptop,
-            checkpointer=checkpointer,
+            checkpointer=checkpointer, phis_folds=phis_folds,
         )
         n_acc = 7 if track_heat else 6
         acc_new = tuple(a + b for a, b in zip(acc, res[6 : 6 + n_acc]))
@@ -136,25 +139,26 @@ def acoustic_loop(
 
 
 def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
-                 ptop, checkpointer=None):
+                 ptop, checkpointer=None, phis_folds=None):
     """One acoustic substep; returns (u, v, w, delp, pt, delz, mfx, mfy, cx,
     cy, xfx, yfx)."""
     hydro = config.hydrostatic
-    u_x, v_x = halo.update_vector(u, v, kind="dgrid", fold="x")
-    u_y, v_y = halo.update_vector(u, v, kind="dgrid", fold="y")
-    # batched scalar exchanges: one region-op pass per fold for all fields
+    # both corner folds from one assembly + corner patches (folds only
+    # differ at cube corners — see halo_slabs.update_*_folds)
+    (u_x, v_x), (u_y, v_y) = halo.update_vector_folds(u, v, kind="dgrid")
+    # batched scalar exchanges: one region-op pass for all fields
     w_x = w_y = None
+    delz_y = None
     if w is not None and delz is not None:
-        delp_x, pt_x, w_x, delz = halo.update_scalars(
-            [delp, pt, w, delz], fold="x"
+        (delp_x, delp_y), (pt_x, pt_y), (w_x, w_y), (delz, delz_y) = (
+            halo.update_scalars_folds([delp, pt, w, delz])
         )
-        delp_y, pt_y, w_y = halo.update_scalars([delp, pt, w], fold="y")
     else:
-        delp_x, pt_x = halo.update_scalars([delp, pt], fold="x")
-        delp_y, pt_y = halo.update_scalars([delp, pt], fold="y")
+        (delp_x, delp_y), (pt_x, pt_y) = halo.update_scalars_folds(
+            [delp, pt]
+        )
         if w is not None:
-            w_x = halo.update_scalar(w, fold="x")
-            w_y = halo.update_scalar(w, fold="y")
+            w_x, w_y = halo.update_scalar_folds(w)
         if delz is not None:
             delz = halo.update_scalar(delz, fold="x")
 
@@ -184,8 +188,7 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         # contour PGF with full pressure in Pa (reference p_grad_c nonhydro)
         uc, vc = p_grad_c(cg.uc, cg.vc, pe_full_c, gz_c, grid, dt2)
     uc, vc = halo.sync_vector_interfaces(uc, vc, kind="cgrid")
-    uc_x, vc_x = halo.update_vector(uc, vc, kind="cgrid", fold="x")
-    uc_y, vc_y = halo.update_vector(uc, vc, kind="cgrid", fold="y")
+    (uc_x, vc_x), (uc_y, vc_y) = halo.update_vector_folds(uc, vc, kind="cgrid")
 
     # --- D-grid full step
     ds: DSWResult = d_sw(
@@ -220,8 +223,7 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         # mid-substep Exner function
         pt = pt + (config.d_sw.d_con / constants.CV_AIR) * heat / pkz_c
 
-    delp_h = halo.update_scalar(delp, fold="x")
-    pt_h = halo.update_scalar(pt, fold="x")
+    delp_h, pt_h = halo.update_scalars([delp, pt], fold="x")
     if hydro:
         # --- hydrostatic pressure-gradient (forward-backward: new delp/pt)
         _pe, _peln, pk, _pkz, gz = hydrostatic_interfaces(delp_h, pt_h, phis, ptop)
@@ -237,10 +239,13 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         # advect interface heights with the substep fluxes, derive the
         # terrain-following surface w, then the implicit vertical solve
         # (phis exchanged per fold so corner-slot surface heights match the
-        # fold of each sweep)
-        delz_y = halo.update_scalar(delz, fold="y")
-        phis_x = halo.update_scalar(phis, fold="x")
-        phis_y = halo.update_scalar(phis, fold="y")
+        # fold of each sweep; its halo is refreshed once per acoustic call —
+        # phis is constant over the substeps)
+        if delz_y is None:
+            delz_y = halo.update_scalar(delz, fold="y")
+        if phis_folds is None:
+            phis_folds = halo.update_scalar_folds(phis)
+        phis_x, phis_y = phis_folds
         zh = heights_from_delz(delz, phis_x)
         zh_y = heights_from_delz(delz_y, phis_y)
         zh_adv = updatedz_d(zh, zh_y, ds.crx, ds.cry, ds.xfx, ds.yfx, grid, dt)
@@ -255,8 +260,7 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         w, delz, pp = riem_solver3(w, delz, pt_h, delp_h, pkz_h, ws, dt, ptop)
         # the solver's halo columns used garbage ws (fluxes are only valid on
         # the domain); refresh ghosts with owner values before the a2b reads
-        w = halo.update_scalar(w, fold="x")
-        delz = halo.update_scalar(delz, fold="x")
+        w, delz = halo.update_scalars([w, delz], fold="x")
         pp = halo.update_scalar(pp, fold="x")
         gz_if = heights_from_delz(delz, phis_x) * constants.GRAV
         u, v = nh_p_grad(u, v, pk_h, gz_if, pp, delp_h, grid, dt)
