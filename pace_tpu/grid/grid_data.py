@@ -177,6 +177,13 @@ class GridData:
     npz: int = dataclasses.field(metadata=dict(static=True), default=79)
     da_min: float = dataclasses.field(metadata=dict(static=True), default=0.0)
     da_min_c: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    #: static cube-corner point table: tuple of (kind, jj, ii, own) where
+    #: kind in {"sw","se","nw","ne"}, (jj, ii) is the local corner-stagger
+    #: index of a 3-valent cube corner, and own is an S-tuple of bools naming
+    #: the shards for which that point is a cube corner. Lets the corner ops
+    #: apply point fixes with static indices (cheap dynamic-update-slices)
+    #: instead of full-array masked selects — see ops/corners.py.
+    corner_table: tuple = dataclasses.field(metadata=dict(static=True), default=())
 
     @classmethod
     def from_metric_terms(cls, mt: MetricTerms, dtype=None) -> "GridData":
@@ -228,6 +235,20 @@ class GridData:
                     ii = gx - gx0
                     if 0 <= jj <= Ys and 0 <= ii <= Xs:
                         corner_masks[kind, s, jj, ii] = 1.0
+
+        # static corner table: same content as corner_masks, grouped by
+        # (kind, position) with per-shard ownership flags
+        corner_entries = []
+        kind_names = ("sw", "se", "nw", "ne")
+        for kind in range(4):
+            by_pos: dict = {}
+            for s in range(S):
+                js, iis = np.nonzero(corner_masks[kind, s])
+                for jj, ii in zip(js.tolist(), iis.tolist()):
+                    by_pos.setdefault((jj, ii), set()).add(s)
+            for (jj, ii), owners in sorted(by_pos.items()):
+                own = tuple(s in owners for s in range(S))
+                corner_entries.append((kind_names[kind], jj, ii, own))
 
         return cls(
             dx=j(mt.dx),
@@ -287,6 +308,7 @@ class GridData:
             corner_se=j(corner_masks[1]),
             corner_nw=j(corner_masks[2]),
             corner_ne=j(corner_masks[3]),
+            corner_table=tuple(corner_entries),
             ptop=float(mt.ak[0]),
             n_halo=h,
             npz=spec.npz,

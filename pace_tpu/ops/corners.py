@@ -43,11 +43,53 @@ def _corner_mask(grid, kind: str, like):
     return bcast_k(m, like)
 
 
+def _cell_read(q, jj: int, ii: int, a: int, b: int):
+    """Value ``cell_at_corner(q, a, b)`` at the single corner point (jj, ii).
+
+    Mirrors the full-array path exactly: the sx/sy rolls wrap (modulo) and
+    the right-iface pad yields 0 beyond the last cell row/column.
+    """
+    Y, X = q.shape[-2], q.shape[-1]
+    if jj >= Y or ii >= X:
+        return jnp.zeros_like(q[..., 0, 0])
+    return q[..., (jj + a) % Y, (ii + b) % X]
+
+
+def _set_point(out, val, own, jj: int, ii: int):
+    """out[..., jj, ii] <- val on the shards flagged in ``own`` (static)."""
+    cur = out[..., jj, ii]
+    if not all(own):
+        import numpy as np
+
+        m = np.asarray(own, dtype=bool).reshape(
+            (len(own),) + (1,) * (cur.ndim - 1)
+        )
+        val = jnp.where(m, val, cur)
+    return out.at[..., jj, ii].set(val)
+
+
 def average_3_quadrants(q, grid, default):
     """Replace cube-corner points of a corner field ``default`` (built from
     4-quadrant center averages of ``q``) with the mean over the 3 REAL
-    adjacent cells."""
+    adjacent cells.
+
+    Corner points are a STATIC, tiny set per shard layout (grid.corner_table)
+    — the fix is a handful of point reads + in-place single-point updates,
+    not full-array masked selects (which cost ~150x more HBM traffic: every
+    masked select rereads several shifted copies of the whole field)."""
+    table = getattr(grid, "corner_table", ())
     out = default
+    if table:
+        for kind, jj, ii, own in table:
+            folded = _FOLDED[kind]
+            acc = None
+            for (a, b) in _QUADRANTS:
+                if (a, b) == folded:
+                    continue
+                val = _cell_read(q, jj, ii, a, b)
+                acc = val if acc is None else acc + val
+            out = _set_point(out, acc / 3.0, own, jj, ii)
+        return out
     for kind in ("sw", "se", "nw", "ne"):
         folded = _FOLDED[kind]
         acc = None
@@ -64,8 +106,25 @@ def average_3_quadrants(q, grid, default):
 def extrapolate_3_to_corner(q, grid, default):
     """Replace cube-corner points of an interpolated corner field with the
     mean of the 3 one-sided diagonal extrapolations (the analog of the
-    reference a2b_ord4 extrap_corner treatment)."""
+    reference a2b_ord4 extrap_corner treatment). Static-point fast path as
+    in :func:`average_3_quadrants`."""
+    table = getattr(grid, "corner_table", ())
     out = default
+    if table:
+        for kind, jj, ii, own in table:
+            folded = _FOLDED[kind]
+            acc = None
+            for (a, b) in _QUADRANTS:
+                if (a, b) == folded:
+                    continue
+                a2 = a + (1 if a >= 0 else -1)
+                b2 = b + (1 if b >= 0 else -1)
+                ext = 1.5 * _cell_read(q, jj, ii, a, b) - 0.5 * _cell_read(
+                    q, jj, ii, a2, b2
+                )
+                acc = ext if acc is None else acc + ext
+            out = _set_point(out, acc / 3.0, own, jj, ii)
+        return out
     for kind in ("sw", "se", "nw", "ne"):
         folded = _FOLDED[kind]
         acc = None
@@ -84,8 +143,32 @@ def extrapolate_3_to_corner(q, grid, default):
 def dedup_corner_divergence(uf, vf, grid, c4):
     """Fix the 4-leg corner divergence at cube corners: the two legs that
     cross the folded face represent the SAME physical crossing; keep their
-    average instead of their sum. ``c4`` is the uncorrected 4-leg outflow."""
+    average instead of their sum. ``c4`` is the uncorrected 4-leg outflow.
+    Static-point fast path as in :func:`average_3_quadrants`."""
     from .stencil_utils import x_cell_to_left_iface, y_cell_to_left_iface
+
+    table = getattr(grid, "corner_table", ())
+    if table:
+
+        def read(arr, jj, ii):
+            # iface-pad semantics: 0 outside the array
+            Y, X = arr.shape[-2], arr.shape[-1]
+            if 0 <= jj < Y and 0 <= ii < X:
+                return arr[..., jj, ii]
+            return jnp.zeros_like(arr[..., 0, 0])
+
+        out = c4
+        for kind, jj, ii, own in table:
+            if kind == "sw":
+                dup = -read(uf, jj, ii - 1) - read(vf, jj - 1, ii)
+            elif kind == "se":
+                dup = read(uf, jj, ii) - read(vf, jj - 1, ii)
+            elif kind == "nw":
+                dup = -read(uf, jj, ii - 1) + read(vf, jj, ii)
+            else:  # ne
+                dup = read(uf, jj, ii) + read(vf, jj, ii)
+            out = _set_point(out, c4[..., jj, ii] - 0.5 * dup, own, jj, ii)
+        return out
 
     uf_r = x_cell_to_right_iface(uf)
     uf_l = x_cell_to_left_iface(uf)

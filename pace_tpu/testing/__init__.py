@@ -10,3 +10,8 @@ from .checkpointer import (  # noqa: F401
     ValidationError,
 )
 from .perturb import perturb  # noqa: F401
+from .validation import (  # noqa: F401
+    SelectiveValidationCheckpointer,
+    ValidationRegion,
+    get_region,
+)

@@ -37,6 +37,10 @@ class Threshold:
     def check(self, name: str, a: np.ndarray, b: np.ndarray) -> Optional[str]:
         diff = np.abs(a - b)
         ok = (diff <= self.absolute) | (diff <= self.relative * np.abs(b))
+        # regions NaN-masked on BOTH sides are deliberately not validated
+        # (selective validation, testing/validation.py) and always pass
+        ok |= np.isnan(a) & np.isnan(b)
+        diff = np.where(np.isnan(diff), 0.0, diff)
         if ok.all():
             return None
         worst = np.unravel_index(np.argmax(diff), diff.shape)
