@@ -32,7 +32,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class ConstantFillHalo:
+class _FoldsDefaultsMixin:
+    """Default both-folds methods delegating to the per-fold primitives, so
+    every halo strategy exposes the same surface as HaloExchanger."""
+
+    def update_scalar_folds(self, q, stagger: str = "center"):
+        return (
+            self.update_scalar(q, stagger=stagger, fold="x"),
+            self.update_scalar(q, stagger=stagger, fold="y"),
+        )
+
+    def update_scalars_folds(self, qs, stagger: str = "center"):
+        xs = self.update_scalars(qs, stagger=stagger, fold="x")
+        ys = self.update_scalars(qs, stagger=stagger, fold="y")
+        return list(zip(xs, ys))
+
+    def update_vector_folds(self, u, v, kind: str = "dgrid"):
+        return (
+            self.update_vector(u, v, kind=kind, fold="x"),
+            self.update_vector(u, v, kind=kind, fold="y"),
+        )
+
+
+class ConstantFillHalo(_FoldsDefaultsMixin):
     """Fill every ghost region with a constant (reference NullComm,
     driver/pace/driver/comm.py:94-106). The interior is untouched; vector
     sync lines are left at their computed values (identity)."""
@@ -73,7 +95,7 @@ class ConstantFillHalo:
         return u, v
 
 
-class RecordingHalo:
+class RecordingHalo(_FoldsDefaultsMixin):
     """Perform real exchanges and record every result host-side.
 
     Only usable in eager mode (concrete arrays); under jit the values are
@@ -126,7 +148,7 @@ class RecordingHalo:
         )
 
 
-class ReplayHalo:
+class ReplayHalo(_FoldsDefaultsMixin):
     """Replay a recorded exchange sequence (reference CachingCommReader +
     serial_debugging notebook workflow). Raises if the call sequence diverges
     from the recording."""
@@ -178,7 +200,7 @@ class ReplayHalo:
         return self._next(tag), self._next(tag)
 
 
-class NanCheckingHalo:
+class NanCheckingHalo(_FoldsDefaultsMixin):
     """Raise on NaN entering any halo exchange (eager-mode numerical
     sanitizer; reference PACE_DACE_DEBUG NaN-checker analog)."""
 
