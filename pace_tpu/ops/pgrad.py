@@ -53,6 +53,13 @@ def a2b_ord4(q, grid=None):
 def hydrostatic_interfaces(delp, pt, phis, ptop: float):
     """Interface pressures and geopotential from layer thickness/temperature.
 
+    Computing over the FULL padded domain (halo columns included — delp's
+    halo is valid after exchange) subsumes the reference's dedicated halo
+    edge-fill stencils ``pyFV3.stencils.pe_halo.edge_pe`` and
+    ``pyFV3.stencils.pk3_halo.PK3Halo`` (SURVEY.md §2.3): on TPU one dense
+    cumsum over (K, Y, X) is cheaper than separate edge-strip kernels, and
+    the halo ring of pe/pk comes out identical by construction.
+
     Returns (pe, peln, pk, pkz, gz):
       pe   (.., K+1, Y, X) interface pressure [Pa], pe[0] = ptop
       peln log(pe)

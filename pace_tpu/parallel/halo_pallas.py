@@ -5,10 +5,15 @@ The XLA formulation of the slab exchange (halo_slabs._assemble) measures
 the tile-edge slabs makes XLA's layout assignment pick a K-minor layout
 (79 -> 128 lane padding, 38% wasted bandwidth) and insert ~26 layout copies
 per call. This kernel does the whole exchange in one HBM pass: each (K-block)
-of the field is staged to VMEM, every ghost strip of every shard is filled by
-a static rotated copy from its source shard's interior (all geometry is
+of every field is staged to VMEM, every ghost strip of every shard is filled
+by a static rotated copy from its source shard's interior (all geometry is
 static Python data from the region tables), and the block is written back.
 XLA sees one custom call with natural layouts — no layout pollution.
+
+Inputs and outputs are decoupled: one input can feed several outputs (the
+both-folds exchanges read the field once and write the x-fold and y-fold
+results in the same pass), and several inputs can be exchanged together
+without stacking (multi-scalar and vector exchanges).
 
 Works on the stacked shard axis S (all shards resident on one chip). The
 sharded multi-chip path keeps the XLA formulation, whose leading-axis
@@ -18,7 +23,7 @@ permutation lowers to a collective-permute over ICI.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,19 +68,17 @@ def _rot90_mxu(x, k: int):
     return _flip_mxu(jnp.swapaxes(x, -2, -1), -1)
 
 
-def _halo_kernel(*refs, io_pairs, ops_per_comp):
-    """refs = (in_0..in_{n-1}, out_0..out_{n-1}); ghost strips of each output
-    are overwritten from the (aliased) inputs; interiors pass through via the
-    block copy-in/copy-out."""
-    n = len(io_pairs)
-    ins = {name: refs[i] for i, (name, _) in enumerate(io_pairs)}
-    outs = {name: refs[n + i] for i, (name, _) in enumerate(io_pairs)}
-    # the output VMEM blocks start uninitialized (aliasing shares only the
-    # HBM buffer): copy the interior through before overwriting ghosts
-    for name in ins:
-        outs[name][...] = ins[name][...]
-    for dst_comp, op in ops_per_comp:
-        out_ref = outs[dst_comp]
+def _halo_kernel(*refs, in_names, out_pairs, ops_per_out):
+    """refs = (in_0..in_{ni-1}, out_0..out_{no-1}). Each output starts as a
+    copy of its source input (outputs' VMEM blocks are uninitialized), then
+    its ghost strips are overwritten from the input refs."""
+    ni = len(in_names)
+    ins = {name: refs[i] for i, name in enumerate(in_names)}
+    outs = {name: refs[ni + i] for i, (name, _) in enumerate(out_pairs)}
+    for name, src in out_pairs:
+        outs[name][...] = ins[src][...]
+    for dst, op in ops_per_out:
+        out_ref = outs[dst]
         r0, r1, c0, c1 = op.dst_rect
         for s in range(out_ref.shape[0]):
             cls = op.classes[int(op.klass_of_shard[s])]
@@ -95,24 +98,28 @@ def _halo_kernel(*refs, io_pairs, ops_per_comp):
 def _run(arrays, ops_key, block_k, interpret):
     # ops_key is a hashable token; the actual tables are looked up in the
     # registry (they contain numpy arrays, which are not hashable)
-    io_pairs, ops_per_comp = _OPS_REGISTRY[ops_key]
+    in_names, out_pairs, out_shapes, ops_per_out = _OPS_REGISTRY[ops_key]
     S = arrays[0].shape[0]
     K = arrays[0].shape[1]
     nb = pl.cdiv(K, block_k)
 
     in_specs = [
-        pl.BlockSpec((S, block_k) + shp, lambda kb: (0, kb, 0, 0))
-        for _, shp in io_pairs
+        pl.BlockSpec((S, block_k) + a.shape[-2:], lambda kb: (0, kb, 0, 0))
+        for a in arrays
     ]
     out_specs = tuple(
         pl.BlockSpec((S, block_k) + shp, lambda kb: (0, kb, 0, 0))
-        for _, shp in io_pairs
+        for shp in out_shapes
     )
     out_shape = tuple(
-        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays
+        jax.ShapeDtypeStruct((S, K) + shp, arrays[0].dtype)
+        for shp in out_shapes
     )
     kernel = functools.partial(
-        _halo_kernel, io_pairs=io_pairs, ops_per_comp=ops_per_comp
+        _halo_kernel,
+        in_names=in_names,
+        out_pairs=out_pairs,
+        ops_per_out=ops_per_out,
     )
     outs = pl.pallas_call(
         kernel,
@@ -120,7 +127,9 @@ def _run(arrays, ops_key, block_k, interpret):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        input_output_aliases={i: i for i in range(len(arrays))},
+        # NOTE: no input_output_aliases — the kernel copies interiors through
+        # anyway, so aliasing saves no traffic, and whenever XLA cannot prove
+        # the operand dead it inserts a defensive whole-field copy per call.
         interpret=interpret,
         **(
             {"compiler_params": _COMPILER_PARAMS}
@@ -131,8 +140,80 @@ def _run(arrays, ops_key, block_k, interpret):
     return outs
 
 
-#: ops_key -> (io_pairs, ops_per_comp); filled by exchange_pallas callers
+#: ops_key -> (in_names, out_pairs, out_shapes, ops_per_out)
 _OPS_REGISTRY: Dict = {}
+
+
+def exchange_pallas_multi(
+    inputs: Dict[str, jnp.ndarray],
+    outputs: Sequence[Tuple[str, str]],
+    ops_per_out: Sequence[Tuple[str, object]],
+    ops_key,
+    block_k: int | None = None,
+    interpret: bool = False,
+):
+    """Run one halo-exchange pass over named input arrays producing named
+    outputs.
+
+    inputs: {"q": q} or {"u": u, "v": v}; every array (S, K, Y, X) — 3-D
+    (S, Y, X) fields are lifted to K=1; (S, *mid, Y, X) has mid flattened.
+    All inputs must share S, K (after lifting) and dtype.
+    outputs: [(out_name, src_input_name)] — each output starts as a copy of
+    its source input. ops_per_out: list of (out_name, _RegionOp); op classes
+    name *input* components as sources. ops_key: hashable cache token
+    identifying the tables. Returns {out_name: array} shaped like the source.
+    """
+    in_names = sorted(inputs)
+    lifted: Dict[str, Tuple[jnp.ndarray, object]] = {}
+    arrays = []
+    for name in in_names:
+        a = inputs[name]
+        if a.ndim == 3:
+            arrays.append(a[:, None])
+            lifted[name] = lambda out: out[:, 0]
+        elif a.ndim == 4:
+            arrays.append(a)
+            lifted[name] = lambda out: out
+        else:
+            S = a.shape[0]
+            Y, X = a.shape[-2:]
+            mid = a.shape[1:-2]
+            M = 1
+            for d in mid:
+                M *= d
+            arrays.append(a.reshape((S, M, Y, X)))
+            lifted[name] = (
+                lambda out, mid=mid, S=S, Y=Y, X=X: out.reshape(
+                    (S,) + mid + (Y, X)
+                )
+            )
+    src_of = dict(outputs)
+    out_shapes = tuple(
+        inputs[src].shape[-2:] for _, src in outputs
+    )
+    if block_k is None:
+        # VMEM budget: each input and output block double-buffered by the
+        # pipeline -> 2 copies of each per-k slab resident at once.
+        per_k = 2 * sum(
+            a.shape[0] * a.shape[-2] * a.shape[-1] * a.dtype.itemsize
+            for a in arrays
+        ) + 2 * sum(
+            arrays[0].shape[0] * y * x * arrays[0].dtype.itemsize
+            for (y, x) in out_shapes
+        )
+        block_k = max(1, (40 * 1024 * 1024) // max(per_k, 1))
+    bk = min(block_k, arrays[0].shape[1])
+    _OPS_REGISTRY[ops_key] = (
+        tuple(in_names),
+        tuple(outputs),
+        out_shapes,
+        tuple(ops_per_out),
+    )
+    outs = _run(tuple(arrays), ops_key, bk, interpret)
+    return {
+        name: lifted[src_of[name]](out)
+        for (name, _), out in zip(outputs, outs)
+    }
 
 
 def exchange_pallas(
@@ -142,41 +223,12 @@ def exchange_pallas(
     block_k: int | None = None,
     interpret: bool = False,
 ):
-    """Run one halo exchange over named component arrays.
-
-    comps: {"q": q} or {"u": u, "v": v}; every array (S, K, Y, X) — 3-D
-    (S, Y, X) fields are lifted to K=1. ops_per_comp: list of
-    (dst_component, _RegionOp). ops_key: hashable cache token identifying the
-    tables (e.g. (id(slabhalo), stagger, fold, "scalar")).
-    Returns {name: updated array}.
-    """
-    names = sorted(comps)
-    squeeze = {}
-    arrays = []
-    io_pairs = []
-    for name in names:
-        a = comps[name]
-        if a.ndim == 3:
-            squeeze[name] = True
-            a = a[:, None]
-        else:
-            squeeze[name] = False
-            if a.ndim > 4:
-                raise ValueError("flatten middle axes before exchange_pallas")
-        arrays.append(a)
-        io_pairs.append((name, a.shape[-2:]))
-    if block_k is None:
-        # VMEM budget: in+out blocks per component, double-buffered by the
-        # pipeline -> 4 copies of each per-k slab resident at once.
-        per_k = sum(
-            4 * a.shape[0] * a.shape[-2] * a.shape[-1] * a.dtype.itemsize
-            for a in arrays
-        )
-        block_k = max(1, (40 * 1024 * 1024) // max(per_k, 1))
-    bk = min(block_k, arrays[0].shape[1])
-    _OPS_REGISTRY[ops_key] = (tuple(io_pairs), tuple(ops_per_comp))
-    outs = _run(tuple(arrays), ops_key, bk, interpret)
-    result = {}
-    for name, out in zip(names, outs):
-        result[name] = out[:, 0] if squeeze[name] else out
-    return result
+    """In-place-style exchange: every input is also its own output."""
+    return exchange_pallas_multi(
+        comps,
+        [(name, name) for name in sorted(comps)],
+        ops_per_comp,
+        ops_key,
+        block_k=block_k,
+        interpret=interpret,
+    )

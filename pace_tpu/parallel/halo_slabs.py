@@ -336,42 +336,58 @@ class SlabHalo:
         return ASSEMBLY == "pallas" and jax.default_backend() == "tpu"
 
     @staticmethod
-    def _flat_mid(a):
-        """(S, *mid, Y, X) -> ((S, M, Y, X), unflatten)"""
-        S = a.shape[0]
-        Y, X = a.shape[-2:]
-        mid = a.shape[1:-2]
-        M = 1
-        for d in mid:
-            M *= d
-        flat = a.reshape((S, M, Y, X)) if mid != (M,) else a
-        return flat, (lambda out: out.reshape((S,) + mid + (Y, X)))
-
-    def _pallas_scalar(self, q, ops, key):
-        from .halo_pallas import exchange_pallas
-
-        if q.ndim == 3:
-            return exchange_pallas({"q": q}, [("q", op) for op in ops], key)["q"]
-        flat, unflat = self._flat_mid(q)
-        out = exchange_pallas({"q": flat}, [("q", op) for op in ops], key)["q"]
-        return unflat(out)
+    def _rekey_ops(ops, old: str, new: str):
+        """Region ops with source-component references renamed old -> new
+        (for running several same-shaped fields as separate kernel inputs)."""
+        out = []
+        for op in ops:
+            classes = tuple(
+                dataclasses.replace(c, src_comp=new)
+                if c.src_comp == old
+                else c
+                for c in op.classes
+            )
+            out.append(dataclasses.replace(op, classes=classes))
+        return out
 
     def update_scalar(self, q, stagger: str = "center", fold: str = "x"):
         ops = self._scalar_ops_for(stagger, fold)
         if self._use_pallas():
-            return self._pallas_scalar(
-                q, ops, (self._token, "scalar", stagger, fold, q.ndim)
-            )
+            from .halo_pallas import exchange_pallas
+
+            return exchange_pallas(
+                {"q": q},
+                [("q", op) for op in ops],
+                (self._token, "scalar", stagger, fold, q.ndim),
+            )["q"]
         return self._assemble(q, ops, {"q": q})
 
     def update_scalars(self, qs, stagger: str = "center", fold: str = "x"):
-        """Update several same-shaped scalar fields in ONE pass of region ops:
-        the fields are stacked on a new axis so the per-region gather/rot/
-        select/update-slice chain runs once over the whole block — the op
-        count (and TPU kernel count) is that of a single field."""
+        """Update several same-shaped scalar fields in ONE exchange pass.
+
+        Pallas path: each field is its own kernel input/output (no stacking
+        copies). XLA path: the fields are stacked on a new axis so the
+        per-region gather/rot/select/update-slice chain runs once."""
         qs = list(qs)
         if len(qs) == 1:
             return [self.update_scalar(qs[0], stagger=stagger, fold=fold)]
+        if self._use_pallas():
+            from .halo_pallas import exchange_pallas_multi
+
+            ops = self._scalar_ops_for(stagger, fold)
+            inputs = {f"q{i}": q for i, q in enumerate(qs)}
+            ops_per_out = [
+                (name, op)
+                for name in inputs
+                for op in self._rekey_ops(ops, "q", name)
+            ]
+            out = exchange_pallas_multi(
+                inputs,
+                [(name, name) for name in inputs],
+                ops_per_out,
+                (self._token, "scalars", stagger, fold, len(qs), qs[0].ndim),
+            )
+            return [out[f"q{i}"] for i in range(len(qs))]
         stacked = jnp.stack(qs, axis=1)  # (S, nf, ...)
         out = self.update_scalar(stacked, stagger=stagger, fold=fold)
         return [out[:, i] for i in range(len(qs))]
@@ -384,14 +400,12 @@ class SlabHalo:
         if self._use_pallas():
             from .halo_pallas import exchange_pallas
 
-            uf, unflat_u = self._flat_mid(u)
-            vf, unflat_v = self._flat_mid(v)
             out = exchange_pallas(
-                {"u": uf, "v": vf},
+                {"u": u, "v": v},
                 [("u", op) for op in ops["u"]] + [("v", op) for op in ops["v"]],
                 (self._token, "vector", kind, fold, u.ndim),
             )
-            return unflat_u(out["u"]), unflat_v(out["v"])
+            return out["u"], out["v"]
         srcs = {"u": u, "v": v}
         u_new = self._assemble(u, ops["u"], srcs)
         v_new = self._assemble(v, ops["v"], srcs)
@@ -417,10 +431,24 @@ class SlabHalo:
         return self._scalar_ops[key]
 
     def update_scalar_folds(self, q, stagger: str = "center"):
-        """(q_xfold, q_yfold). Measured on TPU: deriving the y fold from the
-        x fold by corner patches costs MORE than a second assembly (the
-        patches force a full copy of the still-live x result), so both folds
-        are assembled independently."""
+        """(q_xfold, q_yfold). Pallas path: ONE kernel pass reads q once and
+        writes both fold results (they differ only in the corner ghost
+        regions). XLA path: two independent assemblies — measured on TPU,
+        deriving the y fold from the x fold by corner patches costs MORE than
+        a second assembly (the patches force a full copy of the still-live x
+        result)."""
+        if self._use_pallas():
+            from .halo_pallas import exchange_pallas_multi
+
+            ops_x = self._scalar_ops_for(stagger, "x")
+            ops_y = self._scalar_ops_for(stagger, "y")
+            out = exchange_pallas_multi(
+                {"q": q},
+                [("qx", "q"), ("qy", "q")],
+                [("qx", op) for op in ops_x] + [("qy", op) for op in ops_y],
+                (self._token, "scalar_folds", stagger, q.ndim),
+            )
+            return out["qx"], out["qy"]
         qx = self.update_scalar(q, stagger=stagger, fold="x")
         qy = self.update_scalar(q, stagger=stagger, fold="y")
         return qx, qy
@@ -430,16 +458,62 @@ class SlabHalo:
         qs = list(qs)
         if len(qs) == 1:
             return [self.update_scalar_folds(qs[0], stagger=stagger)]
+        if self._use_pallas():
+            from .halo_pallas import exchange_pallas_multi
+
+            ops_x = self._scalar_ops_for(stagger, "x")
+            ops_y = self._scalar_ops_for(stagger, "y")
+            inputs = {f"q{i}": q for i, q in enumerate(qs)}
+            outputs = []
+            ops_per_out = []
+            for name in inputs:
+                outputs += [(name + "x", name), (name + "y", name)]
+                ops_per_out += [
+                    (name + "x", op) for op in self._rekey_ops(ops_x, "q", name)
+                ] + [
+                    (name + "y", op) for op in self._rekey_ops(ops_y, "q", name)
+                ]
+            out = exchange_pallas_multi(
+                inputs,
+                outputs,
+                ops_per_out,
+                (
+                    self._token,
+                    "scalars_folds",
+                    stagger,
+                    len(qs),
+                    qs[0].ndim,
+                ),
+            )
+            return [
+                (out[f"q{i}x"], out[f"q{i}y"]) for i in range(len(qs))
+            ]
         stacked = jnp.stack(qs, axis=1)
         ox, oy = self.update_scalar_folds(stacked, stagger=stagger)
         return [(ox[:, i], oy[:, i]) for i in range(len(qs))]
 
     def update_vector_folds(self, u, v, kind: str = "dgrid"):
-        """((u_x, v_x), (u_y, v_y)) with the y fold derived by corner patches."""
+        """((u_x, v_x), (u_y, v_y)); Pallas path reads (u, v) once and writes
+        all four fold results in one kernel pass."""
         for fold in ("x", "y"):
             key = (kind, fold)
             if key not in self._vector_ops:
                 self._vector_ops[key] = self._build_vector_ops(kind, fold)
+        if self._use_pallas():
+            from .halo_pallas import exchange_pallas_multi
+
+            ops_x = self._vector_ops[(kind, "x")]
+            ops_y = self._vector_ops[(kind, "y")]
+            out = exchange_pallas_multi(
+                {"u": u, "v": v},
+                [("ux", "u"), ("vx", "v"), ("uy", "u"), ("vy", "v")],
+                [("ux", op) for op in ops_x["u"]]
+                + [("vx", op) for op in ops_x["v"]]
+                + [("uy", op) for op in ops_y["u"]]
+                + [("vy", op) for op in ops_y["v"]],
+                (self._token, "vector_folds", kind, u.ndim),
+            )
+            return (out["ux"], out["vx"]), (out["uy"], out["vy"])
         u_x, v_x = self.update_vector(u, v, kind=kind, fold="x")
         u_y, v_y = self.update_vector(u, v, kind=kind, fold="y")
         return (u_x, v_x), (u_y, v_y)
@@ -533,6 +607,15 @@ class SlabHalo:
         if kind not in self._sync_ops:
             self._sync_ops[kind] = self._build_sync_ops(kind)
         ops = self._sync_ops[kind]
+        if self._use_pallas():
+            from .halo_pallas import exchange_pallas
+
+            out = exchange_pallas(
+                {"u": u, "v": v},
+                [("u", op) for op in ops["u"]] + [("v", op) for op in ops["v"]],
+                (self._token, "sync", kind, u.ndim),
+            )
+            return out["u"], out["v"]
         u_new, v_new = u, v
         for op in ops["u"]:
             u_new = self._apply_op(u_new, op, {"u": u, "v": v})
