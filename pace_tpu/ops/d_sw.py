@@ -32,7 +32,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from .delnflux import delnflux, lap_corner
-from .fvtp2d import fvtp2d
+from .fvtp2d import fvtp2d_best as fvtp2d
 from .fxadv import flux_prep
 from .stencil_utils import (
     bcast_k,

@@ -92,6 +92,37 @@ def fvtp2d(
     return Fluxes2D(fx=fx, fy=fy)
 
 
+def fvtp2d_best(
+    qx,
+    qy,
+    crx,
+    cry,
+    xfx,
+    yfx,
+    area,
+    hord: int,
+    mfx=None,
+    mfy=None,
+) -> Fluxes2D:
+    """As :func:`fvtp2d`, dispatched to the fused Pallas kernel on TPU.
+
+    The Pallas path (fvtp2d_pallas) is bit-exact vs this module's XLA
+    formulation on the consumed interior (verified at C192 for every hord,
+    with and without mass fluxes) but keeps the whole Lin-Rood scheme in
+    VMEM: ~7 HBM field reads + 2 writes instead of ~30 materialized
+    intermediates. Only the never-consumed outermost interface row/col
+    differs (zero vs unspecified).
+    """
+    if jax.default_backend() == "tpu" and qx.ndim == 4:
+        from .fvtp2d_pallas import fvtp2d_pallas
+
+        fx, fy = fvtp2d_pallas(
+            qx, qy, crx, cry, xfx, yfx, area, hord, mfx=mfx, mfy=mfy
+        )
+        return Fluxes2D(fx=fx, fy=fy)
+    return fvtp2d(qx, qy, crx, cry, xfx, yfx, area, hord, mfx=mfx, mfy=mfy)
+
+
 def flux_divergence(fx, fy, rarea):
     """Per-cell tendency sum of face fluxes: (in - out) * 1/area."""
     return (x_iface_diff(fx) + y_iface_diff(fy)) * bcast_k(rarea, fx[..., :-1])

@@ -219,7 +219,7 @@ def updatedz_d(zh_x, zh_y, crx, cry, xfx, yfx, grid, dt: float, hord: int = 5):
     O(upwind-diffusion) height errors that the implicit vertical solver turns
     into spurious w). Returns the advected zh; the caller enforces the
     surface BC and derives ws."""
-    from .fvtp2d import fvtp2d
+    from .fvtp2d import fvtp2d_best as fvtp2d
 
     def to_iface(f):
         mid = 0.5 * (f[..., :-1, :, :] + f[..., 1:, :, :])

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .fvtp2d import fvtp2d
+from .fvtp2d import fvtp2d_best as fvtp2d
 from .stencil_utils import bcast_k, x_iface_diff, y_iface_diff
 
 

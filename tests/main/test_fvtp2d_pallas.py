@@ -1,0 +1,79 @@
+"""Fused Pallas fvtp2d kernel vs the XLA formulation (interpret mode).
+
+The kernel is the same Lin & Rood (1996) scheme as :mod:`pace_tpu.ops.fvtp2d`
+(it literally calls ``ppm._flux_1d`` with an in-VMEM shift). On TPU the
+compiled kernel is bit-exact vs the XLA path (verified at C192, every hord);
+on CPU the two separately-compiled graphs may differ by FMA/reassociation
+round-off, so tests run in float64 and assert near-round-off agreement on
+the consumed interior (the never-consumed outermost interface row/col is
+zero in the kernel, unspecified in the XLA path).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pace_tpu.ops.fvtp2d import fvtp2d
+from pace_tpu.ops.fvtp2d_pallas import fvtp2d_pallas
+
+
+def _setup(rng, S=2, K=5, Y=20, X=20):
+    def mk(dy=0, dx=0, scale=1.0):
+        return jnp.asarray(
+            (scale * rng.standard_normal((S, K, Y + dy, X + dx))).astype(
+                np.float64
+            )
+        )
+
+    q = mk() + 10.0
+    crx = mk(dx=1, scale=0.3)
+    cry = mk(dy=1, scale=0.3)
+    # keep |diff(fx)| << area so the inner-update denominators are
+    # well-conditioned (as in the real model, where fluxes are a small
+    # fraction of the cell area per acoustic substep)
+    xfx = mk(dx=1, scale=0.5)
+    yfx = mk(dy=1, scale=0.5)
+    mfx = mk(dx=1, scale=0.5)
+    mfy = mk(dy=1, scale=0.5)
+    area = jnp.asarray((10.0 + rng.random((S, Y, X))).astype(np.float64))
+    return q, crx, cry, xfx, yfx, mfx, mfy, area
+
+
+@pytest.mark.parametrize("hord", [1, 5, 6, 7, 8])
+@pytest.mark.parametrize("use_mf", [False, True])
+def test_matches_xla_interior(hord, use_mf):
+    rng = np.random.default_rng(1234 + hord)
+    q, crx, cry, xfx, yfx, mfx, mfy, area = _setup(rng)
+    kw = dict(mfx=mfx, mfy=mfy) if use_mf else {}
+    ref = fvtp2d(q, q, crx, cry, xfx, yfx, area, hord, **kw)
+    fx, fy = fvtp2d_pallas(
+        q, q, crx, cry, xfx, yfx, area, hord, interpret=True, **kw
+    )
+    # valid interiors: every interface except the outermost (wrap-around ring)
+    b = 3
+    sl = np.s_[:, :, b:-b, b:-b]
+    np.testing.assert_allclose(
+        np.asarray(ref.fx)[sl], np.asarray(fx)[sl], rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.fy)[sl], np.asarray(fy)[sl], rtol=1e-12, atol=1e-12
+    )
+
+
+def test_k_blocking_invariance():
+    """Result must not depend on the K block size (block boundary handling)."""
+    rng = np.random.default_rng(7)
+    q, crx, cry, xfx, yfx, mfx, mfy, area = _setup(rng, K=7)
+    outs = [
+        fvtp2d_pallas(
+            q, q, crx, cry, xfx, yfx, area, 8, block_k=bk, interpret=True
+        )
+        for bk in (1, 3, 7)
+    ]
+    for fx, fy in outs[1:]:
+        np.testing.assert_allclose(
+            np.asarray(outs[0][0]), np.asarray(fx), rtol=1e-12, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[0][1]), np.asarray(fy), rtol=1e-12, atol=1e-12
+        )
