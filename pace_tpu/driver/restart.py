@@ -39,7 +39,11 @@ _FIELDS = (
 def save_restart(path: str, state: DycoreState, time_seconds: float = 0.0):
     import h5py
 
-    os.makedirs(path, exist_ok=True)
+    from ..utils import filesystem
+
+    # Reference pattern (driver/pace/driver/state.py:185-190): resolve the
+    # filesystem from the path so restart dirs may live on object stores.
+    filesystem.get_fs(path).makedirs(path, exist_ok=True)
     with h5py.File(os.path.join(path, "restart_dycore_state.h5"), "w") as f:
         f.attrs["time_seconds"] = time_seconds
         for name in _FIELDS:

@@ -113,7 +113,9 @@ def fvtp2d_best(
     intermediates. Only the never-consumed outermost interface row/col
     differs (zero vs unspecified).
     """
-    if jax.default_backend() == "tpu" and qx.ndim == 4:
+    from ._dispatch import use_pallas
+
+    if use_pallas("fvtp2d") and qx.ndim == 4:
         from .fvtp2d_pallas import fvtp2d_pallas
 
         fx, fy = fvtp2d_pallas(

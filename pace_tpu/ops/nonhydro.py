@@ -172,7 +172,9 @@ def sim1_solver_best(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
     """Backend-dispatched sim1: the Pallas column kernel on TPU float32
     (whole Thomas solve in VMEM — see sim1_pallas), the lax.scan formulation
     elsewhere (CPU tests, float64 validation runs)."""
-    if jax.default_backend() == "tpu" and w.dtype == jnp.float32:
+    from ._dispatch import use_pallas
+
+    if use_pallas("sim1") and w.dtype == jnp.float32:
         from .sim1_pallas import sim1_solver_pallas
 
         return sim1_solver_pallas(

@@ -163,7 +163,9 @@ def remap_field_best(q, pe1, pe2, monotone: bool = True):
     formulation elsewhere (CPU tests, float64 validation runs)."""
     import jax
 
-    if jax.default_backend() == "tpu" and q.dtype == jnp.float32:
+    from ._dispatch import use_pallas
+
+    if use_pallas("remap") and q.dtype == jnp.float32:
         from .remap_pallas import remap_field_pallas
 
         return remap_field_pallas(q, pe1, pe2, monotone)
