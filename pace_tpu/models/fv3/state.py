@@ -185,3 +185,77 @@ class DycoreState:
             cyd=j(zu),
             diss_estd=j(zc),
         )
+
+
+# dims (beyond the leading shard axis S) and units for each field — drives the
+# dataset export below (reference DycoreState fields list, fv3core state.py:119-151)
+FIELD_METADATA = {
+    "u": (("z", "y_interface", "x"), "m/s"),
+    "v": (("z", "y", "x_interface"), "m/s"),
+    "delp": (("z", "y", "x"), "Pa"),
+    "pt": (("z", "y", "x"), "degK"),
+    "w": (("z", "y", "x"), "m/s"),
+    "delz": (("z", "y", "x"), "m"),
+    "phis": (("y", "x"), "m^2 s^-2"),
+    "ps": (("y", "x"), "Pa"),
+    "pe": (("z_interface", "y", "x"), "Pa"),
+    "peln": (("z_interface", "y", "x"), "ln(Pa)"),
+    "pk": (("z_interface", "y", "x"), "(Pa)**kappa"),
+    "pkz": (("z", "y", "x"), "(Pa)**kappa"),
+    "omga": (("z", "y", "x"), "Pa/s"),
+    "ua": (("z", "y", "x"), "m/s"),
+    "va": (("z", "y", "x"), "m/s"),
+    "uc": (("z", "y", "x_interface"), "m/s"),
+    "vc": (("z", "y_interface", "x"), "m/s"),
+    "mfxd": (("z", "y", "x_interface"), "Pa m^2"),
+    "mfyd": (("z", "y_interface", "x"), "Pa m^2"),
+    "cxd": (("z", "y", "x_interface"), ""),
+    "cyd": (("z", "y_interface", "x"), ""),
+    "diss_estd": (("z", "y", "x"), ""),
+    "q_con": (("z", "y", "x"), "kg/kg"),
+}
+
+
+def _dataset_items(state: "DycoreState"):
+    for name, (dims, units) in FIELD_METADATA.items():
+        arr = getattr(state, name)
+        if arr is not None:
+            yield name, ("shard",) + dims, units, np.asarray(arr)
+    q = getattr(state, "q", None)
+    if q is not None:
+        for i, tname in enumerate(TRACER_NAMES):
+            yield tname, ("shard", "z", "y", "x"), "kg/kg", np.asarray(q[:, i])
+
+
+def as_dataset(state: "DycoreState"):
+    """Name -> (dims, units, numpy array) for every populated field, tracers
+    unstacked by name — the structural analog of the reference's
+    ``DycoreState.xr_dataset`` (fv3core state.py: sympl-style dataset export)
+    without an xarray dependency (not in the image)."""
+    return {
+        name: {"dims": dims, "units": units, "data": arr}
+        for name, dims, units, arr in _dataset_items(state)
+    }
+
+
+def to_netcdf(state: "DycoreState", path: str) -> None:
+    """Write every populated field to one classic-NetCDF-3 file with shared
+    named dimensions (the reference's ``xr_dataset.to_netcdf`` save path,
+    driver/pace/driver/state.py:114-126)."""
+    from ...utils import netcdf3
+
+    dims: dict = {}
+    variables: dict = {}
+    for name, dnames, units, arr in _dataset_items(state):
+        full = []
+        for d, sz in zip(dnames, arr.shape):
+            # interface dims differ in length from their center dims
+            key = d
+            if key in dims and dims[key] != int(sz):
+                key = f"{d}{sz}"
+            dims.setdefault(key, int(sz))
+            full.append(key)
+        variables[name] = netcdf3.Variable(
+            dims=tuple(full), data=arr, attrs={"units": units}
+        )
+    netcdf3.write(path, netcdf3.NetCDF3File(dims=dims, variables=variables, attrs={}))

@@ -221,3 +221,107 @@ def zeros(
     return Quantity(
         jnp.zeros(tuple(shape), dtype=dtype), dims, units, origin, extent
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class SubtileGridSizer:
+    """Per-shard shape calculator (reference ``ndsl.initialization.SubtileGridSizer``,
+    used via ``QuantityFactory`` at driver/pace/driver/driver.py:744-760).
+
+    Computes dim-name -> length maps for one subtile shard given the global
+    cube size and rank layout. ``nx``/``ny``/``nz`` are the *per-shard*
+    compute extents; interface dims get +1, horizontal dims carry ``n_halo``
+    ghost points per side.
+    """
+
+    nx: int
+    ny: int
+    nz: int
+    n_halo: int = constants.N_HALO_DEFAULT
+
+    @classmethod
+    def from_tile_params(
+        cls,
+        nx_tile: int,
+        ny_tile: int,
+        nz: int,
+        n_halo: int = constants.N_HALO_DEFAULT,
+        layout: Tuple[int, int] = (1, 1),
+    ) -> "SubtileGridSizer":
+        if nx_tile % layout[1] or ny_tile % layout[0]:
+            raise ValueError(
+                f"tile size ({ny_tile}, {nx_tile}) not divisible by layout {layout}"
+            )
+        return cls(
+            nx=nx_tile // layout[1], ny=ny_tile // layout[0], nz=nz, n_halo=n_halo
+        )
+
+    @property
+    def sizes(self) -> Mapping[str, int]:
+        return {"x": self.nx, "y": self.ny, "z": self.nz, "tile": 6}
+
+    def get_extent(self, dims: Sequence[str]) -> Tuple[int, ...]:
+        out = []
+        for d in dims:
+            base = d.replace("_interface", "")
+            out.append(self.sizes[base] + (1 if d.endswith("_interface") else 0))
+        return tuple(out)
+
+    def get_origin(self, dims: Sequence[str]) -> Tuple[int, ...]:
+        return tuple(
+            self.n_halo if d.replace("_interface", "") in ("x", "y") else 0
+            for d in dims
+        )
+
+    def get_shape(self, dims: Sequence[str]) -> Tuple[int, ...]:
+        return tuple(
+            e + 2 * o for e, o in zip(self.get_extent(dims), self.get_origin(dims))
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantityFactory:
+    """Allocate Quantities by dim names (reference ``ndsl.QuantityFactory``,
+    driver/pace/driver/driver.py:28-29,744-760). No backend zoo: arrays are
+    always jax arrays on the default device."""
+
+    sizer: SubtileGridSizer
+
+    @classmethod
+    def from_backend(cls, sizer: SubtileGridSizer, backend: str = "jax"):
+        """Reference-signature constructor; ``backend`` is accepted for API
+        parity and ignored (jax is the only backend)."""
+        return cls(sizer)
+
+    def _make(self, fill, dims, units, dtype):
+        from . import dtypes
+
+        if dtype is None:
+            dtype = dtypes.Float
+        data = jnp.full(self.sizer.get_shape(dims), fill, dtype=dtype)
+        return Quantity(
+            data, dims, units, self.sizer.get_origin(dims), self.sizer.get_extent(dims)
+        )
+
+    def zeros(self, dims: Sequence[str], units: str, dtype=None) -> Quantity:
+        return self._make(0, dims, units, dtype)
+
+    def ones(self, dims: Sequence[str], units: str, dtype=None) -> Quantity:
+        return self._make(1, dims, units, dtype)
+
+    def empty(self, dims: Sequence[str], units: str, dtype=None) -> Quantity:
+        # XLA has no uninitialized alloc; zeros is the deterministic choice
+        return self._make(0, dims, units, dtype)
+
+    def from_array(self, data, dims: Sequence[str], units: str) -> Quantity:
+        """Wrap an existing halo-inclusive array (shape must match the sizer)."""
+        expect = self.sizer.get_shape(dims)
+        if tuple(data.shape) != expect:
+            raise ValueError(f"array shape {data.shape} != sizer shape {expect}")
+        return Quantity(
+            jnp.asarray(data),
+            dims,
+            units,
+            self.sizer.get_origin(dims),
+            self.sizer.get_extent(dims),
+        )
