@@ -15,10 +15,13 @@ are supported for both read and write.
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+from . import native
 
 NC_BYTE = 1
 NC_CHAR = 2
@@ -199,6 +202,10 @@ def read(path: str) -> NetCDF3File:
                 if recs
                 else np.zeros([0] + rec_shape, dtype=dt)
             )
+        if arr.nbytes >= (1 << 20):
+            # large payloads: parallel native-endian conversion up front
+            # (the lazy big-endian view would convert single-threaded on use)
+            arr = native.to_native_endian(arr)
         variables[nm] = Variable(dims=dims, data=arr, attrs=vatts)
 
     dims_out: Dict[str, Optional[int]] = {}
@@ -321,26 +328,31 @@ def write(path: str, f: NetCDF3File, version: int = 2) -> None:
         per = int(np.prod(arr.shape[1:])) if arr.ndim > 1 else 1
         rec_stride = per * _DTYPES[e[2]].itemsize
 
+    # payloads go through the native IO core (pace_tpu/utils/native.py:
+    # multithreaded endian swap + pwrite; silent numpy fallback) — gaps left
+    # between pwrites are the zero padding NetCDF requires, materialized by
+    # the final ftruncate
+    end_of_file = offset if not rec_entries else rec_begin + numrecs * rec_stride
+    end_of_file = max(end_of_file, base)
     with open(path, "wb") as fh:
         fh.write(header)
         fh.write(var_table(entries))
+        fh.flush()
+        fd = fh.fileno()
         for nm, v, t, dimids, is_rec, vsize, begin in entries:
             if is_rec:
                 continue
-            fh.seek(begin)
-            fh.write(_pad4(np.ascontiguousarray(v.data, dtype=_DTYPES[t]).tobytes()))
-        for rec in range(numrecs):
-            for nm, v, t, dimids, is_rec, vsize, begin in entries:
-                if not is_rec:
-                    continue
-                fh.seek(begin + rec * rec_stride)
-                arr = np.asarray(v.data)
-                payload = np.ascontiguousarray(
-                    arr[rec], dtype=_DTYPES[t]
-                ).tobytes()
-                if len(rec_entries) > 1:
-                    payload = _pad4(payload)
-                fh.write(payload)
+            native.swap_write(fd, begin, np.asarray(v.data), _DTYPES[t])
+        for nm, v, t, dimids, is_rec, vsize, begin in entries:
+            if not is_rec:
+                continue
+            arr = np.asarray(v.data)
+            for rec in range(min(numrecs, arr.shape[0] if arr.ndim else 0)):
+                native.swap_write(
+                    fd, begin + rec * rec_stride, arr[rec], _DTYPES[t]
+                )
+        if os.fstat(fd).st_size < end_of_file:
+            os.ftruncate(fd, end_of_file)
 
 
 def write_simple(path: str, arrays: Dict[str, np.ndarray],
