@@ -26,7 +26,7 @@ from ... import constants
 from ..fv3.state import DycoreState, TRACER_NAMES
 from .microphysics import MicrophysicsConfig, microphysics_step
 
-PHYSICS_PACKAGES = ("GFS_microphysics",)
+PHYSICS_PACKAGES = ("GFS_microphysics", "GFS_PBL")
 
 _IQ = {name: i for i, name in enumerate(TRACER_NAMES)}
 
@@ -152,11 +152,13 @@ def dry_convective_adjustment(pt, q, delp, dt: float, tau: float,
 
 
 class Physics:
-    """Reference ``pySHiELD.Physics`` analog; currently GFS_microphysics only
-    (matching the reference's integration status, docs/physics/index.rst:5-8)."""
+    """Reference ``pySHiELD.Physics`` analog. Integrated schemes:
+    GFS_microphysics (the reference's only integrated scheme,
+    docs/physics/index.rst:5-8) and GFS_PBL (the K-profile/implicit-diffusion
+    boundary layer the reference ports standalone — see pbl.py)."""
 
     def __init__(self, grid, schemes, timestep: float, config=None,
-                 fv_sg_adj: float = 0.0):
+                 fv_sg_adj: float = 0.0, pbl_config=None):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -165,11 +167,49 @@ class Physics:
         self.schemes = tuple(schemes)
         self.timestep = float(timestep)
         self.config = config or MicrophysicsConfig()
+        if pbl_config is None:
+            from .pbl import PBLConfig
+
+            pbl_config = PBLConfig()
+        self.pbl_config = pbl_config
+        self.grid = grid
         self.fv_sg_adj = float(fv_sg_adj)
         self._call = jax.jit(self._call_impl)
 
     def __call__(self, state: DycoreState) -> DycoreState:
         return self._call(state)
+
+    def _pbl(self, state: DycoreState) -> DycoreState:
+        from ...ops.d2a2c import cartesian_wind_centers
+        from ...ops.stencil_utils import bcast_k
+        from .pbl import pbl_step
+
+        grid = self.grid
+        # contravariant A-grid winds from the D-grid state (d2a2c center leg)
+        vcart = cartesian_wind_centers(state.u, state.v, grid)
+        u_cov = jnp.sum(vcart * bcast_k(grid.ec1, vcart), axis=-3)
+        v_cov = jnp.sum(vcart * bcast_k(grid.ec2, vcart), axis=-3)
+        rsin2 = bcast_k(grid.rsin2, u_cov)
+        cosa_s = bcast_k(grid.cosa_s, u_cov)
+        ua = (u_cov - v_cov * cosa_s) * rsin2
+        va = (v_cov - u_cov * cosa_s) * rsin2
+
+        qv = state.q[:, _IQ["qvapor"]]
+        pkz = state.pkz
+        t = state.pt * pkz / (1.0 + constants.ZVIR * qv)
+        p_mid = 0.5 * (state.pe[..., 1:, :, :] + state.pe[..., :-1, :, :])
+        u_dt, v_dt, t_new, qv_new, _h = pbl_step(
+            ua, va, t, qv, state.pe, p_mid, state.delp, state.phis,
+            self.timestep, self.pbl_config,
+        )
+        u_new, v_new = apply_wind_tendencies(
+            state.u, state.v, u_dt, v_dt, grid, self.timestep
+        )
+        pt_new = t_new * (1.0 + constants.ZVIR * qv_new) / pkz
+        q_new = state.q.at[:, _IQ["qvapor"]].set(qv_new)
+        return dataclasses.replace(
+            state, u=u_new, v=v_new, pt=pt_new, q=q_new
+        )
 
     def _call_impl(self, state: DycoreState) -> DycoreState:
         if self.fv_sg_adj > 0.0:
@@ -177,6 +217,8 @@ class Physics:
                 state.pt, state.q, state.delp, self.timestep, self.fv_sg_adj
             )
             state = dataclasses.replace(state, pt=pt_adj, q=q_adj)
+        if "GFS_PBL" in self.schemes:
+            state = self._pbl(state)
         if "GFS_microphysics" not in self.schemes:
             return state
         phy = dycore_to_physics(state)
