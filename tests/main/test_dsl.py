@@ -1,0 +1,98 @@
+"""Stencil-layer facade (pace_tpu/dsl.py): FrozenStencil windowing, arg
+validation, compare-to-numpy, GridIndexing geometry (reference
+stencil_definition.ipynb / stencil_signatures.py usage patterns)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pace_tpu.dsl import (
+    CompilationConfig,
+    FrozenStencil,
+    GridIndexing,
+    RunMode,
+    StencilConfig,
+    StencilFactory,
+)
+from pace_tpu.quantity import SubtileGridSizer
+
+
+def test_frozen_stencil_updates_only_window():
+    def add_one(q):
+        return q + 1.0
+
+    st = FrozenStencil(add_one, origin=(2, 2), domain=(3, 4))
+    q = jnp.zeros((8, 8))
+    out = st(q)
+    expect = np.zeros((8, 8))
+    expect[2:5, 2:6] = 1.0
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_frozen_stencil_multiple_fields_and_outputs():
+    def sum_diff(a, b):
+        return a + b, a - b
+
+    st = FrozenStencil(sum_diff, origin=(1, 1), domain=(2, 2), n_outputs=2)
+    a = jnp.ones((4, 4))
+    b = jnp.full((4, 4), 2.0)
+    oa, ob = st(a, b)
+    assert float(oa[1, 1]) == 3.0 and float(ob[1, 1]) == -1.0
+    assert float(oa[0, 0]) == 1.0 and float(ob[0, 0]) == 2.0  # outside window
+
+
+def test_leading_batch_axes_pass_through():
+    st = FrozenStencil(lambda q: 2.0 * q, origin=(3, 3), domain=(4, 4))
+    q = jnp.ones((6, 5, 10, 10))  # (S, K, Y, X): window on trailing 2 axes
+    out = st(q)
+    assert float(out[3, 2, 4, 4]) == 2.0
+    assert float(out[3, 2, 0, 0]) == 1.0
+
+
+def test_validate_args_rejects_shape_change():
+    st = FrozenStencil(lambda q: q, origin=(0, 0), domain=(2, 2))
+    st(jnp.zeros((4, 4)))
+    with pytest.raises(TypeError):
+        st(jnp.zeros((5, 5)))
+
+
+def test_compare_to_numpy_catches_nothing_on_pure_fn():
+    cfg = StencilConfig(compare_to_numpy=True)
+    st = FrozenStencil(lambda q: q * 3.0, origin=(1, 0), domain=(2, 3),
+                       config=cfg)
+    st(jnp.arange(20.0).reshape(4, 5))  # passes the numpy cross-check
+
+
+def test_run_mode_build_compiles_without_executing():
+    cfg = StencilConfig(CompilationConfig(run_mode=RunMode.Build))
+    st = FrozenStencil(lambda q: q + 5.0, origin=(0, 0), domain=(2, 2),
+                       config=cfg)
+    q = jnp.zeros((3, 3))
+    out = st(q)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)  # not executed
+
+
+def test_grid_indexing_geometry():
+    sizer = SubtileGridSizer.from_tile_params(12, 12, 7, n_halo=3,
+                                              layout=(2, 2))
+    gi = GridIndexing.from_sizer(sizer, shard_y=0, shard_x=1, layout=(2, 2))
+    assert gi.domain == (7, 6, 6)
+    assert gi.south_edge and gi.east_edge
+    assert not gi.north_edge and not gi.west_edge
+    assert gi.origin_compute == (0, 3, 3)
+    assert gi.domain_full() == (7, 12, 12)
+    origin, domain = gi.get_origin_domain(("z", "y", "x_interface"),
+                                          halos=(1, 0))
+    assert origin == (0, 2, 3)
+    assert domain == (7, 8, 7)
+
+
+def test_factory_from_dims_halo():
+    sizer = SubtileGridSizer.from_tile_params(8, 8, 4, n_halo=3)
+    gi = GridIndexing.from_sizer(sizer)
+    fac = StencilFactory(grid_indexing=gi)
+    st = fac.from_dims_halo(lambda q: q + 1.0, ("y", "x"))
+    q = jnp.zeros((4, 14, 14))
+    out = st(q)
+    assert float(out[0, 3, 3]) == 1.0
+    assert float(out[0, 2, 2]) == 0.0
