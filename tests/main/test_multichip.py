@@ -53,3 +53,32 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out.q), np.asarray(ref.q), rtol=1e-12, atol=1e-13
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_utilities_roundtrip():
+    """pace_tpu.parallel.mesh: cube_mesh/layout_for/shard_state/replicate."""
+    from pace_tpu.parallel import mesh as M
+
+    m = M.cube_mesh(n=8)
+    assert m.size == 8
+    assert M.layout_for(8) == (2, 2)  # 24 shards / 8 devices = 3 each
+    assert M.layout_for(1) == (1, 1)
+    assert M.layout_for(6) == (1, 1)
+
+    spec = GridSpec(n_tile=12, npz=4, layout=(2, 2))
+    mt = MetricTerms.generate(spec)
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float32)
+    cfg = DynamicalCoreConfig(npz=4, k_split=1, n_split=1, hydrostatic=True)
+    core = DynamicalCore(grid, mt.halo, cfg, timestep=300.0)
+    state = DycoreState.from_baroclinic_init(mt, dtype=jnp.float32)
+
+    sharded = M.shard_state(state, m)
+    grid_r = M.replicate(core.grid, m)
+    # leading axis is sharded over all 8 devices
+    assert len(sharded.u.sharding.device_set) == 8
+    out = jax.jit(core._step_impl)(sharded, grid_r)
+    ref = core.step_dynamics(state)
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(ref.u), rtol=1e-5, atol=1e-4
+    )
