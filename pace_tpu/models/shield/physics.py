@@ -26,7 +26,7 @@ from ... import constants
 from ..fv3.state import DycoreState, TRACER_NAMES
 from .microphysics import MicrophysicsConfig, microphysics_step
 
-PHYSICS_PACKAGES = ("GFS_microphysics", "GFS_PBL")
+PHYSICS_PACKAGES = ("GFS_microphysics", "GFS_PBL", "held_suarez")
 
 _IQ = {name: i for i, name in enumerate(TRACER_NAMES)}
 
@@ -217,6 +217,15 @@ class Physics:
                 state.pt, state.q, state.delp, self.timestep, self.fv_sg_adj
             )
             state = dataclasses.replace(state, pt=pt_adj, q=q_adj)
+        if "held_suarez" in self.schemes:
+            from .held_suarez import HeldSuarezConfig, held_suarez_step
+
+            p_mid = 0.5 * (state.pe[..., 1:, :, :] + state.pe[..., :-1, :, :])
+            u_new, v_new, pt_new = held_suarez_step(
+                state.u, state.v, state.pt, state.pkz, p_mid, state.ps,
+                self.grid.f0, self.timestep, HeldSuarezConfig(),
+            )
+            state = dataclasses.replace(state, u=u_new, v=v_new, pt=pt_new)
         if "GFS_PBL" in self.schemes:
             state = self._pbl(state)
         if "GFS_microphysics" not in self.schemes:
