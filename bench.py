@@ -30,6 +30,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 N_TILE = int(os.environ.get("BENCH_N_TILE", "192"))
 NPZ = int(os.environ.get("BENCH_NPZ", "79"))
 STEPS = int(os.environ.get("BENCH_STEPS", "5"))
+# BENCH_DEVICES > 1 shards the stacked-shard axis over a device mesh (the
+# multi-chip scaling measurement of BASELINE.md; per-chip throughput is
+# reported so perfect scaling keeps the metric flat)
+DEVICES = int(os.environ.get("BENCH_DEVICES", "1"))
 
 
 def main():
@@ -38,7 +42,15 @@ def main():
     from pace_tpu.models.fv3.dycore import DynamicalCore, DynamicalCoreConfig
     from pace_tpu.models.fv3.state import DycoreState
 
-    spec = GridSpec(n_tile=N_TILE, npz=NPZ, layout=(1, 1))
+    if DEVICES > 1:
+        from pace_tpu.parallel import mesh as M
+
+        mesh = M.cube_mesh(n=DEVICES)
+        layout = M.layout_for(DEVICES)
+    else:
+        mesh, layout = None, (1, 1)
+
+    spec = GridSpec(n_tile=N_TILE, npz=NPZ, layout=layout)
     mt = MetricTerms.generate(spec)
     grid = GridData.from_metric_terms(mt, dtype=jnp.float32)
     # the reference's headline perf configuration: nonhydrostatic baroclinic
@@ -75,6 +87,11 @@ def main():
     )
     core = DynamicalCore(grid, mt.halo, cfg, timestep=200.0, donate=True)
     state = DycoreState.from_baroclinic_init(mt, perturbation=True, dtype=jnp.float32)
+    if mesh is not None:
+        from pace_tpu.parallel import mesh as M
+
+        state = M.shard_state(state, mesh)
+        core.grid = M.replicate(core.grid, mesh)
 
     # warmup/compile: two steps — the first call fills the state's optional
     # diagnostic fields (pytree structure change -> second compile), the
@@ -91,7 +108,7 @@ def main():
     dt = time.perf_counter() - t0
 
     gridpoints = 6 * N_TILE * N_TILE * NPZ
-    value = gridpoints * STEPS / dt
+    value = gridpoints * STEPS / dt / DEVICES
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0
