@@ -55,4 +55,22 @@ class InitializationConfig:
             from .fortran_restart import load_fortran_restart
 
             return load_fortran_restart(cfg.path, mt, dtype)
+        elif self.type == "predefined":
+            # reference PredefinedStateInit (initialization.py:341-369): the
+            # caller hands a ready-made state via the Python API (not yaml)
+            if not isinstance(self.config, dict) or "dycore_state" not in self.config:
+                raise ValueError(
+                    "predefined initialization requires config={'dycore_state': "
+                    "DycoreState} (Python API only, like the reference)"
+                )
+            return self.config["dycore_state"]
+        elif self.type == "savepoint":
+            # reference SerialboxInit (initialization.py:244-339) reads
+            # Fortran-serialized savepoint data; here the translate framework's
+            # netCDF ingestion plays that role (testing/translate.py)
+            from ..testing.translate import TranslateFVDynamics
+
+            cfg = dict(self.config or {})
+            tr = TranslateFVDynamics(mt, dtype=dtype)
+            return tr.state_from_inputs(tr.collect_input_data(cfg["path"]))
         raise NotImplementedError(f"initialization type {self.type!r}")

@@ -1,0 +1,66 @@
+"""Savepoint CLI round-trip: generate -> calibrate -> validate (the
+reference's savepoint workflow, tests/savepoint/test_checkpoints.py:67-195,
+driven by one command here)."""
+
+import textwrap
+
+import pytest
+
+from pace_tpu.testing.savepoint_cli import main
+
+
+@pytest.fixture(scope="module")
+def config_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("sp") / "cfg.yaml"
+    path.write_text(
+        textwrap.dedent(
+            """
+            nx_tile: 12
+            nz: 6
+            layout: [1, 1]
+            dt_atmos: 300.0
+            minutes: 5
+            precision: 64
+            initialization:
+              type: baroclinic
+            dycore_config:
+              k_split: 1
+              n_split: 2
+              hydrostatic: true
+              nord: 1
+              d4_bg: 0.12
+            """
+        )
+    )
+    return str(path)
+
+
+def test_generate_calibrate_validate(config_path, tmp_path):
+    ref = str(tmp_path / "ref.npz")
+    th = str(tmp_path / "thresholds.yaml")
+    assert main(["generate", config_path, "-o", ref]) == 0
+    assert main([
+        "calibrate", config_path, "-r", ref, "-o", th, "--trials", "2",
+    ]) == 0
+    assert main(["validate", config_path, "-r", ref, "-t", th]) == 0
+
+
+def test_validate_catches_config_change(config_path, tmp_path):
+    """A physics-relevant config change must fail validation (thresholds are
+    round-off-scale, a different n_split is far outside them)."""
+    import yaml
+
+    ref = str(tmp_path / "ref.npz")
+    th = str(tmp_path / "thresholds.yaml")
+    assert main(["generate", config_path, "-o", ref]) == 0
+    assert main([
+        "calibrate", config_path, "-r", ref, "-o", th, "--trials", "2",
+    ]) == 0
+
+    cfg = yaml.safe_load(open(config_path))
+    cfg["dycore_config"]["n_split"] = 4
+    changed = tmp_path / "changed.yaml"
+    changed.write_text(yaml.safe_dump(cfg))
+    # n_split=4 fires C_SW 4x per step but the reference has 2 hits -> must
+    # fail; it also changes the answer, caught at FVDynamics-Out
+    assert main(["validate", str(changed), "-r", ref, "-t", th]) == 1
