@@ -153,6 +153,18 @@ class Driver:
                 self.performance.record_step(_time.perf_counter() - t0)
                 self.time_seconds += self.config.dt_atmos
                 self._step_count += 1
+                if (
+                    self.config.performance_config.collect_stage_times
+                    and self._step_count == 1
+                    and not self._eager
+                ):
+                    from .stage_profile import profile_stage_times
+
+                    self.performance.stage_device_seconds = (
+                        profile_stage_times(
+                            self.dycore._step, self.state, self.dycore.grid
+                        )
+                    )
                 self._end_of_step_actions()
         if self.config.performance_config.profile_dir:
             jax.profiler.stop_trace()

@@ -70,6 +70,10 @@ class PerformanceConfig:
     collect_cprofile: bool = False
     #: write a TensorBoard-compatible device trace (jax.profiler) here
     profile_dir: str = ""
+    #: attribute device time to the reference stage timers
+    #: DynCore/TracerAdvection/Remapping (driver/stage_profile.py) by
+    #: profiling one step after warmup; requires a real device (TPU)
+    collect_stage_times: bool = False
 
     def build(self) -> "PerformanceCollector":
         return PerformanceCollector(self)
@@ -88,6 +92,7 @@ class PerformanceCollector:
         self.config = config
         self.timer = Timer() if config.collect_performance else NullTimer()
         self.step_seconds: List[float] = []
+        self.stage_device_seconds: Dict[str, float] = {}
 
     def record_step(self, seconds: float):
         self.step_seconds.append(seconds)
@@ -104,6 +109,11 @@ class PerformanceCollector:
             "SYPD": get_sypd(mean, dt_atmos) if mean else None,
             "times": dict(self.timer.times),
             "hits": dict(self.timer.hits),
+            # per-stage device seconds for ONE step (reference's DynCore/
+            # TracerAdvection/Remapping timers, tests/main/driver/
+            # test_driver.py:81-97); empty unless collect_stage_times ran
+            # on a real device
+            "stage_device_seconds": dict(self.stage_device_seconds),
         }
 
     def write_json(self, path: str, dt_atmos: float):
