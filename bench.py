@@ -34,6 +34,8 @@ STEPS = int(os.environ.get("BENCH_STEPS", "5"))
 # multi-chip scaling measurement of BASELINE.md; per-chip throughput is
 # reported so perfect scaling keeps the metric flat)
 DEVICES = int(os.environ.get("BENCH_DEVICES", "1"))
+# BENCH_PHYSICS=1: bench the full driver loop (dycore + microphysics + PBL)
+PHYSICS = os.environ.get("BENCH_PHYSICS", "0") == "1"
 
 
 def main():
@@ -87,23 +89,41 @@ def main():
     )
     core = DynamicalCore(grid, mt.halo, cfg, timestep=200.0, donate=True)
     state = DycoreState.from_baroclinic_init(mt, perturbation=True, dtype=jnp.float32)
+    # BENCH_PHYSICS=1 benches the full driver loop — dycore + GFDL
+    # microphysics + PBL (the "c192 + GFS microphysics/PBL driver loop"
+    # milestone config, BASELINE.md targets table)
+    physics = None
+    if PHYSICS:
+        from pace_tpu.models.shield.physics import Physics
+
+        physics = Physics(
+            grid, ("GFS_microphysics", "GFS_PBL"), 200.0, fv_sg_adj=0.0
+        )
     if mesh is not None:
         from pace_tpu.parallel import mesh as M
 
         state = M.shard_state(state, mesh)
         core.grid = M.replicate(core.grid, mesh)
+        if physics is not None:
+            physics.grid = core.grid
+
+    def one_step(state):
+        state = core.step_dynamics(state)
+        if physics is not None:
+            state = physics(state)
+        return state
 
     # warmup/compile: two steps — the first call fills the state's optional
     # diagnostic fields (pytree structure change -> second compile), the
     # second lands on the steady-state structure that the timed loop reuses
-    state = core.step_dynamics(state)
+    state = one_step(state)
     jax.block_until_ready(state.u)
-    state = core.step_dynamics(state)
+    state = one_step(state)
     jax.block_until_ready(state.u)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state = core.step_dynamics(state)
+        state = one_step(state)
     jax.block_until_ready(state.u)
     dt = time.perf_counter() - t0
 
@@ -122,7 +142,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"C{N_TILE}_dycore_gridpoints_per_s_per_chip",
+                "metric": (
+                    f"C{N_TILE}_driverloop_gridpoints_per_s_per_chip"
+                    if PHYSICS
+                    else f"C{N_TILE}_dycore_gridpoints_per_s_per_chip"
+                ),
                 "value": round(value, 1),
                 "unit": "gridpoints/s",
                 "vs_baseline": round(vs, 3),

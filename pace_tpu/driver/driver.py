@@ -158,11 +158,22 @@ class Driver:
                     and self._step_count == 1
                     and not self._eager
                 ):
-                    from .stage_profile import profile_stage_times
+                    from .stage_profile import STAGES, profile_stage_times
 
+                    # collect_communication (reference driver.py:413-417:
+                    # halo exchanges timed with the timestep timer) splits
+                    # halo device time out of its enclosing stage — the
+                    # HaloExchange scope must be matched FIRST since it
+                    # nests inside DynCore/TracerAdvection
+                    stages = (
+                        ("HaloExchange",) + STAGES
+                        if self.config.performance_config.collect_communication
+                        else STAGES
+                    )
                     self.performance.stage_device_seconds = (
                         profile_stage_times(
-                            self.dycore._step, self.state, self.dycore.grid
+                            self.dycore._step, self.state, self.dycore.grid,
+                            stages=stages,
                         )
                     )
                 self._end_of_step_actions()

@@ -22,12 +22,27 @@ axis XLA lowers the permutation into a collective-permute — the ICI pathway.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .halo import _STAGGER_OFFSETS, _VECTOR_KINDS, HaloExchanger
+
+
+def _halo_scope(fn):
+    """Tag every exchange's ops with the "HaloExchange" named scope so
+    driver/stage_profile.py can attribute their device time (the analog of
+    the reference's collect_communication halo timing, driver.py:413-417)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.named_scope("HaloExchange"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 #: ghost-strip application strategy: "pallas" runs the single-pass Pallas
 #: kernel (halo_pallas.py; TPU backend only — elsewhere it falls back to
@@ -350,6 +365,7 @@ class SlabHalo:
             out.append(dataclasses.replace(op, classes=classes))
         return out
 
+    @_halo_scope
     def update_scalar(self, q, stagger: str = "center", fold: str = "x"):
         ops = self._scalar_ops_for(stagger, fold)
         if self._use_pallas():
@@ -362,6 +378,7 @@ class SlabHalo:
             )["q"]
         return self._assemble(q, ops, {"q": q})
 
+    @_halo_scope
     def update_scalars(self, qs, stagger: str = "center", fold: str = "x"):
         """Update several same-shaped scalar fields in ONE exchange pass.
 
@@ -392,6 +409,7 @@ class SlabHalo:
         out = self.update_scalar(stacked, stagger=stagger, fold=fold)
         return [out[:, i] for i in range(len(qs))]
 
+    @_halo_scope
     def update_vector(self, u, v, kind: str = "dgrid", fold: str = "x"):
         key = (kind, fold)
         if key not in self._vector_ops:
@@ -430,6 +448,7 @@ class SlabHalo:
             self._scalar_ops[key] = self._build_scalar_ops(stagger, fold)
         return self._scalar_ops[key]
 
+    @_halo_scope
     def update_scalar_folds(self, q, stagger: str = "center"):
         """(q_xfold, q_yfold). Pallas path: ONE kernel pass reads q once and
         writes both fold results (they differ only in the corner ghost
@@ -453,6 +472,7 @@ class SlabHalo:
         qy = self.update_scalar(q, stagger=stagger, fold="y")
         return qx, qy
 
+    @_halo_scope
     def update_scalars_folds(self, qs, stagger: str = "center"):
         """[(qi_xfold, qi_yfold)] for several same-shaped fields, batched."""
         qs = list(qs)
@@ -492,6 +512,7 @@ class SlabHalo:
         ox, oy = self.update_scalar_folds(stacked, stagger=stagger)
         return [(ox[:, i], oy[:, i]) for i in range(len(qs))]
 
+    @_halo_scope
     def update_vector_folds(self, u, v, kind: str = "dgrid"):
         """((u_x, v_x), (u_y, v_y)); Pallas path reads (u, v) once and writes
         all four fold results in one kernel pass."""

@@ -28,10 +28,13 @@ def test_dycore_hlo_carries_stage_scopes():
     names = op_name_map(text)
     scopes = set()
     for op in names.values():
-        for stage in ("DynCore", "TracerAdvection", "Remapping"):
+        for stage in ("DynCore", "TracerAdvection", "Remapping", "HaloExchange"):
             if f"/{stage}/" in op or op.endswith(f"/{stage}"):
                 scopes.add(stage)
-    assert scopes == {"DynCore", "TracerAdvection", "Remapping"}, scopes
+    # HaloExchange nests inside the others (collect_communication split)
+    assert scopes == {
+        "DynCore", "TracerAdvection", "Remapping", "HaloExchange"
+    }, scopes
 
 
 def test_attribute_stages_synthetic():
