@@ -12,6 +12,7 @@ from .topology import (
 )
 from .partitioner import TilePartitioner, CubedSpherePartitioner
 from .halo import HaloExchanger
+from .gather import gather_tiles, scatter_tiles
 
 __all__ = [
     "Topology",
@@ -23,6 +24,8 @@ __all__ = [
     "TilePartitioner",
     "CubedSpherePartitioner",
     "HaloExchanger",
+    "gather_tiles",
+    "scatter_tiles",
     "EDGE_W",
     "EDGE_E",
     "EDGE_S",
