@@ -28,6 +28,12 @@ logger = get_logger()
 class Driver:
     def __init__(self, config: DriverConfig):
         self.config = config
+        if config.precision == 64:
+            # the PACE_FLOAT_PRECISION=64 analog (reference docs/overview.rst:
+            # 15); without x64 jnp.float64 silently degrades to float32
+            import jax
+
+            jax.config.update("jax_enable_x64", True)
         dtype = jnp.float64 if config.precision == 64 else jnp.float32
 
         logger.info("generating grid (C%d, nz=%d)", config.nx_tile, config.nz)

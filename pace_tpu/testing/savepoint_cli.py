@@ -91,6 +91,11 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
     config = DriverConfig.from_yaml(args.config)
+    if config.precision == 64:
+        # PACE_FLOAT_PRECISION=64 analog — savepoint data must really be f64
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     mt, grid, state = _build(config)
 
     if args.cmd == "generate":

@@ -82,3 +82,18 @@ def test_dycore_deterministic(model):
     assert np.array_equal(np.asarray(s1.u), np.asarray(s2.u))
     assert np.array_equal(np.asarray(s1.delp), np.asarray(s2.delp))
     assert np.array_equal(np.asarray(s1.q), np.asarray(s2.q))
+
+
+def test_dycore_no_retrace_in_step(model):
+    """Repeated stepping must hit the jit cache — no re-tracing and no
+    re-compilation (the reference enforces no storage allocation and no
+    stencil definition inside the step by monkeypatching gt4py to raise,
+    reference tests/main/fv3core/test_dycore_call.py:150-220; the XLA
+    analog is jit cache stability)."""
+    spec, mt, grid, core, state = model
+    s1 = core.step_dynamics(state)  # warm (output structure = steady state)
+    n0 = core._step._cache_size()
+    s2 = core.step_dynamics(s1)
+    s3 = core.step_dynamics(s2)
+    assert core._step._cache_size() == n0, "step re-traced on repeat calls"
+    assert np.isfinite(np.asarray(s3.delp)[:, :, 3:-3, 3:-3]).all()
