@@ -130,23 +130,26 @@ def main():
     gridpoints = 6 * N_TILE * N_TILE * NPZ
     value = gridpoints * STEPS / dt / DEVICES
 
+    metric = (
+        f"C{N_TILE}_driverloop_gridpoints_per_s_per_chip"
+        if PHYSICS
+        else f"C{N_TILE}_dycore_gridpoints_per_s_per_chip"
+    )
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0
     if os.path.exists(baseline_path):
         try:
-            base = json.load(open(baseline_path))["value"]
-            if base > 0:
-                vs = value / base
+            base = json.load(open(baseline_path))
+            # the ratio is only meaningful against the SAME workload — the
+            # recorded baseline is dycore-only at C192
+            if base.get("metric") == metric and base["value"] > 0:
+                vs = value / base["value"]
         except Exception:
             pass
     print(
         json.dumps(
             {
-                "metric": (
-                    f"C{N_TILE}_driverloop_gridpoints_per_s_per_chip"
-                    if PHYSICS
-                    else f"C{N_TILE}_dycore_gridpoints_per_s_per_chip"
-                ),
+                "metric": metric,
                 "value": round(value, 1),
                 "unit": "gridpoints/s",
                 "vs_baseline": round(vs, 3),

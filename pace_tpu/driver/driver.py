@@ -30,10 +30,16 @@ class Driver:
         self.config = config
         if config.precision == 64:
             # the PACE_FLOAT_PRECISION=64 analog (reference docs/overview.rst:
-            # 15); without x64 jnp.float64 silently degrades to float32
+            # 15); without x64 jnp.float64 silently degrades to float32.
+            # NOTE: jax_enable_x64 is process-global and stays on — mixing
+            # precision-64 and precision-32 drivers in one process keeps the
+            # f32 driver correct (its arrays are created float32 explicitly)
+            # but changes weak-type promotion, hence the log line.
             import jax
 
-            jax.config.update("jax_enable_x64", True)
+            if not jax.config.jax_enable_x64:
+                logger.info("precision=64: enabling jax_enable_x64 (process-global)")
+                jax.config.update("jax_enable_x64", True)
         dtype = jnp.float64 if config.precision == 64 else jnp.float32
 
         logger.info("generating grid (C%d, nz=%d)", config.nx_tile, config.nz)
@@ -159,32 +165,18 @@ class Driver:
                 self.performance.record_step(_time.perf_counter() - t0)
                 self.time_seconds += self.config.dt_atmos
                 self._step_count += 1
+                # stage profiling starts its own jax.profiler trace — only
+                # one profiler session may run at a time, so when profile_dir
+                # holds a whole-run trace open, defer it to after stop_trace
                 if (
-                    self.config.performance_config.collect_stage_times
-                    and self._step_count == 1
-                    and not self._eager
+                    self._step_count == 1
+                    and not self.config.performance_config.profile_dir
                 ):
-                    from .stage_profile import STAGES, profile_stage_times
-
-                    # collect_communication (reference driver.py:413-417:
-                    # halo exchanges timed with the timestep timer) splits
-                    # halo device time out of its enclosing stage — the
-                    # HaloExchange scope must be matched FIRST since it
-                    # nests inside DynCore/TracerAdvection
-                    stages = (
-                        ("HaloExchange",) + STAGES
-                        if self.config.performance_config.collect_communication
-                        else STAGES
-                    )
-                    self.performance.stage_device_seconds = (
-                        profile_stage_times(
-                            self.dycore._step, self.state, self.dycore.grid,
-                            stages=stages,
-                        )
-                    )
+                    self._collect_stage_times()
                 self._end_of_step_actions()
         if self.config.performance_config.profile_dir:
             jax.profiler.stop_trace()
+            self._collect_stage_times()
         if profiler is not None:
             profiler.disable()
             prof_path = f"{self.config.performance_config.experiment_name}.prof"
@@ -195,6 +187,26 @@ class Driver:
             logger.info(
                 "halo recording written to %s", self.config.comm_config.path
             )
+
+    def _collect_stage_times(self):
+        """Attribute one step's device time to the reference stage timers
+        (collect_stage_times; see stage_profile.py)."""
+        if not self.config.performance_config.collect_stage_times or self._eager:
+            return
+        from .stage_profile import STAGES, profile_stage_times
+
+        # collect_communication (reference driver.py:413-417: halo exchanges
+        # timed with the timestep timer) splits halo device time out of its
+        # enclosing stage — the HaloExchange scope must be matched FIRST
+        # since it nests inside DynCore/TracerAdvection
+        stages = (
+            ("HaloExchange",) + STAGES
+            if self.config.performance_config.collect_communication
+            else STAGES
+        )
+        self.performance.stage_device_seconds = profile_stage_times(
+            self.dycore._step, self.state, self.dycore.grid, stages=stages
+        )
 
     def _check_pair(self):
         import numpy as np

@@ -71,6 +71,14 @@ class InitializationConfig:
             from ..testing.translate import TranslateFVDynamics
 
             cfg = dict(self.config or {})
-            tr = TranslateFVDynamics(mt, dtype=dtype)
+            if "path" not in cfg:
+                raise ValueError(
+                    "savepoint initialization requires config={'path': "
+                    "<savepoint .nc/.h5>, 'data_halo': <halo cells in the "
+                    "serialized slabs, default 0>}"
+                )
+            tr = TranslateFVDynamics(
+                mt, data_halo=int(cfg.get("data_halo", 0)), dtype=dtype
+            )
             return tr.state_from_inputs(tr.collect_input_data(cfg["path"]))
         raise NotImplementedError(f"initialization type {self.type!r}")

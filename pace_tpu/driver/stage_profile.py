@@ -75,8 +75,12 @@ def attribute_stages(
     matched = False
     for e in events:
         name = e["name"]
-        # fusions are suffixed .N in traces; HLO metadata may key either form
-        op = op_names.get(name) or op_names.get(name.rstrip("0123456789."))
+        # fusions are suffixed .N in traces; HLO metadata may key either
+        # form. Strip only ONE trailing .N component — a greedy strip of all
+        # digits could collide distinct base names ("conv2.1" -> "conv")
+        op = op_names.get(name) or op_names.get(
+            re.sub(r"\.\d+$", "", name)
+        )
         if op is None:
             continue
         matched = True

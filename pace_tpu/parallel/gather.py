@@ -19,13 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .halo import _STAGGER_OFFSETS
+from .halo import interface_extents
 from .partitioner import CubedSpherePartitioner
-
-
-def _extents(stagger: str):
-    oy, ox = _STAGGER_OFFSETS[stagger]
-    return (1 if oy == 0.0 else 0), (1 if ox == 0.0 else 0)
 
 
 def gather_tiles(
@@ -39,9 +34,14 @@ def gather_tiles(
     arr = np.asarray(arr)
     ly, lx = partitioner.layout
     h = n_halo
-    ey, ex = _extents(stagger)
+    ey, ex = interface_extents(stagger)
     nsy = arr.shape[-2] - 2 * h - ey
     nsx = arr.shape[-1] - 2 * h - ex
+    if nsy <= 0 or nsx <= 0:
+        raise ValueError(
+            f"shard shape {arr.shape[-2:]} too small for n_halo={h} "
+            f"stagger={stagger!r}"
+        )
     out = np.zeros(
         arr.shape[1:-2] + (6, ly * nsy + ey, lx * nsx + ex), dtype=arr.dtype
     )
@@ -71,7 +71,12 @@ def scatter_tiles(
     tiles = np.asarray(tiles)
     ly, lx = partitioner.layout
     h = n_halo
-    ey, ex = _extents(stagger)
+    ey, ex = interface_extents(stagger)
+    if (tiles.shape[-2] - ey) % ly or (tiles.shape[-1] - ex) % lx:
+        raise ValueError(
+            f"tile extent {tiles.shape[-2:]} (stagger={stagger!r}) not "
+            f"evenly divisible by layout {(ly, lx)}"
+        )
     nsy = (tiles.shape[-2] - ey) // ly
     nsx = (tiles.shape[-1] - ex) // lx
     S = 6 * ly * lx

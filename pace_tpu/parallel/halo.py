@@ -47,6 +47,14 @@ _STAGGER_OFFSETS: Dict[str, Tuple[float, float]] = {
     "x_interface": (0.5, 0.0),  # D-grid v location
 }
 
+
+def interface_extents(stagger: str) -> Tuple[int, int]:
+    """(ey, ex): extra owned points along y/x — 1 on interface-inclusive
+    axes (offset 0.0), 0 on cell-centered axes. The single source of the
+    extent rule shared by the halo layout and gather/scatter."""
+    oy, ox = _STAGGER_OFFSETS[stagger]
+    return (1 if oy == 0.0 else 0), (1 if ox == 0.0 else 0)
+
 # (u_location, u_direction, v_location, v_direction); directions in (dy, dx).
 _VECTOR_KINDS = {
     # D-grid: u = x-direction wind at y-interfaces, v = y-direction at x-interfaces

@@ -114,10 +114,10 @@ class SlabHalo:
     # geometry
     # ------------------------------------------------------------------
     def _ghost_regions(self, stagger: str):
+        from .halo import interface_extents
+
         h = self.halo.n_halo
-        oy, ox = _STAGGER_OFFSETS[stagger]
-        ey = 1 if oy == 0.0 else 0
-        ex = 1 if ox == 0.0 else 0
+        ey, ex = interface_extents(stagger)
         ny = self.halo.nsy + ey
         nx = self.halo.nsx + ex
         yt = ny + 2 * h

@@ -77,3 +77,9 @@ def test_gather_scatter_roundtrip(stagger, ey, ex):
     assert shards.shape == (36, 4, 6 + 2 * H + ey, 4 + 2 * H + ex)
     back = gather_tiles(shards, p, H, stagger=stagger)
     np.testing.assert_array_equal(back, tiles)
+
+
+def test_scatter_rejects_non_divisible():
+    p = CubedSpherePartitioner.from_layout((2, 2))
+    with pytest.raises(ValueError, match="divisible"):
+        scatter_tiles(np.zeros((6, 4, 13, 13)), p, H)
