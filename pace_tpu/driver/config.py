@@ -109,6 +109,10 @@ class DriverConfig:
     minutes: int = 0
     seconds: int = 0
     pair_debug: bool = False
+    #: per-stage NaN / negative-delp / negative-tracer sanitizer (the
+    #: reference PACE_DACE_DEBUG passes, doc_primer_orchestration.md:48-57);
+    #: forces eager (debug-speed) execution like the reference's debug mode
+    debug_checks: bool = False
     precision: int = 32
     #: run just the dycore even when physics schemes are configured
     #: (reference driver.py:126,508; dry convective adjustment still runs)

@@ -78,8 +78,15 @@ class Driver:
             self.metric_terms, dtype
         )
 
+        checkpointer = None
+        if config.debug_checks:
+            from ..testing.sanitizer import make_sanitizer
+
+            checkpointer = make_sanitizer()
+            logger.info("debug_checks: per-stage sanitizer active (eager)")
         self.dycore = DynamicalCore(
-            self.grid_data, self.halo, config.dycore_config, config.dt_atmos
+            self.grid_data, self.halo, config.dycore_config, config.dt_atmos,
+            checkpointer=checkpointer,
         )
         # pair_debug: run a second identical model and cross-check every step
         # (reference pair_debug compares split-comm replicas per stencil call,

@@ -10,6 +10,7 @@ from .checkpointer import (  # noqa: F401
     ValidationError,
 )
 from .perturb import perturb  # noqa: F401
+from .sanitizer import SanitizerCheckpointer, SanitizerError  # noqa: F401
 from .validation import (  # noqa: F401
     SelectiveValidationCheckpointer,
     ValidationRegion,
