@@ -84,9 +84,13 @@ class Driver:
 
             checkpointer = make_sanitizer()
             logger.info("debug_checks: per-stage sanitizer active (eager)")
+        # donate the input state's buffers to the step (halves peak HBM in
+        # the step-in-place mainloop). pair_debug keeps two live states that
+        # alias the same initial buffers, so donation is disabled there.
         self.dycore = DynamicalCore(
             self.grid_data, self.halo, config.dycore_config, config.dt_atmos,
             checkpointer=checkpointer,
+            donate=not config.pair_debug,
         )
         # pair_debug: run a second identical model and cross-check every step
         # (reference pair_debug compares split-comm replicas per stencil call,
@@ -200,7 +204,16 @@ class Driver:
         (collect_stage_times; see stage_profile.py)."""
         if not self.config.performance_config.collect_stage_times or self._eager:
             return
+        import jax
+        import jax.numpy as jnp
+
         from .stage_profile import STAGES, profile_stage_times
+
+        # the profiled extra step donates its input buffers (the step is
+        # compiled with donation) — hand it a copy so self.state stays live
+        state = jax.tree_util.tree_map(
+            lambda a: jnp.copy(a) if hasattr(a, "dtype") else a, self.state
+        )
 
         # collect_communication (reference driver.py:413-417: halo exchanges
         # timed with the timestep timer) splits halo device time out of its
@@ -212,7 +225,7 @@ class Driver:
             else STAGES
         )
         self.performance.stage_device_seconds = profile_stage_times(
-            self.dycore._step, self.state, self.dycore.grid, stages=stages
+            self.dycore._step, state, self.dycore.grid, stages=stages
         )
 
     def _check_pair(self):
