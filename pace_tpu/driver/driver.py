@@ -245,6 +245,14 @@ class Driver:
         cfg = self.config
         if self._step_count % cfg.diagnostics_config.output_frequency == 0:
             self.diagnostics.store(self.time_seconds, self.state)
+            # ongoing perf summary at every output step (reference rank-0
+            # ongoing summaries, driver.py:600-609) — a crash mid-run still
+            # leaves usable timings on disk
+            if cfg.performance_config.collect_performance:
+                self.performance.write_json(
+                    f"{cfg.performance_config.experiment_name}_perf.json",
+                    cfg.dt_atmos,
+                )
         self.safety_checker.check_state(
             self.state, n_halo=self.metric_terms.spec.n_halo
         )
