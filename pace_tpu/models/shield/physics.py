@@ -26,7 +26,9 @@ from ... import constants
 from ..fv3.state import DycoreState, TRACER_NAMES
 from .microphysics import MicrophysicsConfig, microphysics_step
 
-PHYSICS_PACKAGES = ("GFS_microphysics", "GFS_PBL", "held_suarez")
+PHYSICS_PACKAGES = (
+    "GFS_microphysics", "GFS_PBL", "held_suarez", "gray_radiation"
+)
 
 _IQ = {name: i for i, name in enumerate(TRACER_NAMES)}
 
@@ -226,6 +228,17 @@ class Physics:
                 self.grid.f0, self.timestep, HeldSuarezConfig(),
             )
             state = dataclasses.replace(state, u=u_new, v=v_new, pt=pt_new)
+        if "gray_radiation" in self.schemes:
+            from .radiation import GrayRadiationConfig, gray_radiation_step
+
+            sinlat = jnp.clip(
+                self.grid.f0 / (2.0 * constants.OMEGA), -1.0, 1.0
+            )
+            pt_new = gray_radiation_step(
+                state.pt, state.pkz, state.pe, state.ps,
+                sinlat * sinlat, self.timestep, GrayRadiationConfig(),
+            )
+            state = dataclasses.replace(state, pt=pt_new)
         if "GFS_PBL" in self.schemes:
             state = self._pbl(state)
         if "GFS_microphysics" not in self.schemes:

@@ -1,0 +1,118 @@
+"""Gray radiation tests (Frierson et al. 2006 two-stream scheme,
+models/shield/radiation.py — the standalone-radiation slot of the
+reference's physics roadmap, docs/physics/index.rst:5-8)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pace_tpu import constants
+from pace_tpu.models.shield.radiation import (
+    SIGMA_SB,
+    GrayRadiationConfig,
+    gray_radiation_step,
+    lw_fluxes,
+    optical_depth,
+    sw_surface,
+)
+
+S, K, Y, X = 2, 16, 4, 4
+
+
+@pytest.fixture()
+def column():
+    ps = np.full((S, Y, X), 1.0e5)
+    pe = np.linspace(100.0, 1.0e5, K + 1)[None, :, None, None] * np.ones(
+        (S, 1, Y, X)
+    )
+    t = np.full((S, K, Y, X), 280.0)
+    sinlat2 = np.full((S, Y, X), 0.25)
+    return jnp.asarray(t), jnp.asarray(pe), jnp.asarray(ps), jnp.asarray(sinlat2)
+
+
+def test_optical_depth_monotone_and_bounded(column):
+    _, pe, ps, sinlat2 = column
+    cfg = GrayRadiationConfig()
+    tau = np.asarray(optical_depth(pe, ps, sinlat2, cfg))
+    assert (np.diff(tau, axis=-3) > 0).all()  # increases downward
+    tau0 = cfg.tau0_eq + (cfg.tau0_pole - cfg.tau0_eq) * 0.25
+    np.testing.assert_allclose(tau[:, -1], tau0, rtol=1e-6)
+
+
+def test_lw_limits(column):
+    """Optically thick isothermal: interior fluxes -> blackbody; surface
+    flux boundary conditions exact."""
+    t, pe, ps, sinlat2 = column
+    cfg = GrayRadiationConfig(t_surf=280.0)
+    tau = optical_depth(pe, ps, sinlat2, cfg) * 50.0  # very thick
+    up, down = lw_fluxes(t, tau, cfg.t_surf)
+    b = SIGMA_SB * 280.0**4
+    np.testing.assert_allclose(np.asarray(up)[:, -1], b, rtol=1e-6)
+    assert np.asarray(down)[:, 0].max() == 0.0  # no downwelling at TOA
+    # deep interior saturates to blackbody
+    np.testing.assert_allclose(np.asarray(down)[:, -2], b, rtol=1e-3)
+
+
+def test_energy_closure(column):
+    """Column-integrated heating == net flux convergence of the column."""
+    t, pe, ps, sinlat2 = column
+    cfg = GrayRadiationConfig()
+    tau = optical_depth(pe, ps, sinlat2, cfg)
+    up, down = lw_fluxes(t, tau, cfg.t_surf)
+    net = np.asarray(up - down)
+    dt = 600.0
+    pkz = jnp.ones((S, K, Y, X))
+    pt_new = gray_radiation_step(t, pkz, pe, ps, sinlat2, dt, cfg)
+    dT = np.asarray(pt_new - t)
+    dp = np.asarray(pe)[:, 1:] - np.asarray(pe)[:, :-1]
+    col_heat = (constants.CP_AIR / constants.GRAV * dT * dp / dt).sum(axis=1)
+    np.testing.assert_allclose(
+        col_heat, net[:, -1] - net[:, 0], rtol=1e-5
+    )
+
+
+def test_isothermal_cools_to_space(column):
+    t, pe, ps, sinlat2 = column
+    cfg = GrayRadiationConfig(t_surf=280.0)  # surface = air temperature
+    pkz = jnp.ones((S, K, Y, X))
+    pt_new = np.asarray(
+        gray_radiation_step(t, pkz, pe, ps, sinlat2, 600.0, cfg)
+    )
+    dT = pt_new - np.asarray(t)
+    # whole column loses energy (emission to space, nothing comes in)
+    assert dT.sum() < 0
+    # magnitude sane: well under 10 K/day at dt=600s
+    assert np.abs(dT).max() < 10.0 / 144.0
+
+
+def test_hot_surface_warms_lowest_layer(column):
+    t, pe, ps, sinlat2 = column
+    cfg = GrayRadiationConfig(t_surf=330.0)
+    pkz = jnp.ones((S, K, Y, X))
+    pt_new = np.asarray(
+        gray_radiation_step(t, pkz, pe, ps, sinlat2, 600.0, cfg)
+    )
+    assert (pt_new[:, -1] > np.asarray(t)[:, -1]).all()
+
+
+def test_sw_surface_equator_exceeds_pole():
+    cfg = GrayRadiationConfig()
+    assert sw_surface(jnp.array(0.0), cfg) > sw_surface(jnp.array(1.0), cfg)
+
+
+def test_physics_integration():
+    """gray_radiation as a Physics scheme on a real dycore state."""
+    from pace_tpu.grid.generation import GridSpec, MetricTerms
+    from pace_tpu.grid.grid_data import GridData
+    from pace_tpu.models.fv3.state import DycoreState
+    from pace_tpu.models.shield.physics import Physics
+
+    spec = GridSpec(n_tile=12, npz=8, layout=(1, 1))
+    mt = MetricTerms.generate(spec)
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float32)
+    state = DycoreState.from_baroclinic_init(mt, dtype=jnp.float32)
+    phys = Physics(grid, ("gray_radiation",), 600.0)
+    out = phys(state)
+    pt = np.asarray(out.pt)[:, :, 3:-3, 3:-3]
+    assert np.isfinite(pt).all()
+    assert not np.array_equal(pt, np.asarray(state.pt)[:, :, 3:-3, 3:-3])
