@@ -43,7 +43,16 @@ class RestartConfig:
 
 @dataclasses.dataclass(frozen=True)
 class PhysicsEnableConfig:
+    """Scheme selection + per-scheme tuning (reference PhysicsConfig carries
+    the scheme list plus namelist-derived scheme parameters,
+    tests/main/physics/test_integration.py:29-31)."""
+
     schemes: Tuple[str, ...] = ()
+    #: per-scheme option dicts -> MicrophysicsConfig / PBLConfig /
+    #: GrayRadiationConfig fields
+    microphysics: Optional[dict] = None
+    pbl: Optional[dict] = None
+    radiation: Optional[dict] = None
 
 
 @dataclasses.dataclass(frozen=True)

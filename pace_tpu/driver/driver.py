@@ -112,13 +112,23 @@ class Driver:
         # dry convective adjustment runs even dycore_only (reference
         # driver.py:165: do_dry_convective_adjustment or not dycore_only)
         if run_physics or config.dycore_config.fv_sg_adj > 0:
+            from ..models.shield.microphysics import MicrophysicsConfig
+            from ..models.shield.pbl import PBLConfig
             from ..models.shield.physics import Physics
+            from ..models.shield.radiation import GrayRadiationConfig
+            from ..utils.registry import from_dict
 
+            pc = config.physics_config
             self.physics = Physics(
                 self.grid_data,
-                config.physics_config.schemes if run_physics else (),
+                pc.schemes if run_physics else (),
                 config.dt_atmos,
                 fv_sg_adj=config.dycore_config.fv_sg_adj,
+                config=from_dict(MicrophysicsConfig, pc.microphysics or {}),
+                pbl_config=from_dict(PBLConfig, pc.pbl or {}),
+                radiation_config=from_dict(
+                    GrayRadiationConfig, pc.radiation or {}
+                ),
             )
 
         self.diagnostics = config.diagnostics_config.diagnostics_factory(

@@ -160,7 +160,8 @@ class Physics:
     boundary layer the reference ports standalone — see pbl.py)."""
 
     def __init__(self, grid, schemes, timestep: float, config=None,
-                 fv_sg_adj: float = 0.0, pbl_config=None):
+                 fv_sg_adj: float = 0.0, pbl_config=None,
+                 radiation_config=None):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -174,6 +175,11 @@ class Physics:
 
             pbl_config = PBLConfig()
         self.pbl_config = pbl_config
+        if radiation_config is None:
+            from .radiation import GrayRadiationConfig
+
+            radiation_config = GrayRadiationConfig()
+        self.radiation_config = radiation_config
         self.grid = grid
         self.fv_sg_adj = float(fv_sg_adj)
         self._call = jax.jit(self._call_impl)
@@ -229,14 +235,14 @@ class Physics:
             )
             state = dataclasses.replace(state, u=u_new, v=v_new, pt=pt_new)
         if "gray_radiation" in self.schemes:
-            from .radiation import GrayRadiationConfig, gray_radiation_step
+            from .radiation import gray_radiation_step
 
             sinlat = jnp.clip(
                 self.grid.f0 / (2.0 * constants.OMEGA), -1.0, 1.0
             )
             pt_new = gray_radiation_step(
                 state.pt, state.pkz, state.pe, state.ps,
-                sinlat * sinlat, self.timestep, GrayRadiationConfig(),
+                sinlat * sinlat, self.timestep, self.radiation_config,
             )
             state = dataclasses.replace(state, pt=pt_new)
         if "GFS_PBL" in self.schemes:
