@@ -39,6 +39,9 @@ class AcousticConfig:
     a_imp: float = 1.0
     p_fac: float = 0.05
     beta: float = 0.0
+    #: cap on the per-substep dissipation-heating temperature increment,
+    #: |dT| <= delt_max * dt [K] (reference temperature_adjust delt_max)
+    delt_max: float = 0.002
 
 
 @jax.tree_util.register_dataclass
@@ -219,9 +222,12 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     heat = ds.heat
     if heat is not None and config.d_sw.d_con > 0.0:
         # dissipation heating (reference temperature_adjust, d_con fraction):
-        # dT = d_con*heat/cv_air; pt is potential temperature so divide by the
-        # mid-substep Exner function
-        pt = pt + (config.d_sw.d_con / constants.CV_AIR) * heat / pkz_c
+        # dT = d_con*heat/cv_air capped at +-delt_max*dt (the reference's
+        # delt_max clamp against spurious hot spots at strong shear); pt is
+        # potential temperature so divide by the mid-substep Exner function
+        d_t = (config.d_sw.d_con / constants.CV_AIR) * heat
+        cap = config.delt_max * abs(dt)
+        pt = pt + jnp.clip(d_t, -cap, cap) / pkz_c
 
     delp_h, pt_h = halo.update_scalars([delp, pt], fold="x")
     if hydro:

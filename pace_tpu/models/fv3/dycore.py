@@ -102,6 +102,7 @@ class DynamicalCoreConfig:
             a_imp=self.a_imp,
             p_fac=self.p_fac,
             beta=self.beta,
+            delt_max=self.delt_max,
         )
 
 
