@@ -266,6 +266,16 @@ class DynamicalCore:
                         pt, q[:, iv], q[:, il], p_mid, pkz, dt_k
                     )
                     q = q.at[:, iv].set(qv2).at[:, il].set(ql2)
+                    if cfg.do_qa:
+                        # fill the qcld tracer with diagnostic cloud
+                        # fraction (reference do_qa path of sat_adj)
+                        from ...ops.dycore_extras import cloud_fraction
+
+                        ic = TRACER_NAMES.index("qcld")
+                        t_abs = pt * pkz / (1.0 + constants.ZVIR * qv2)
+                        q = q.at[:, ic].set(
+                            cloud_fraction(qv2, ql2, t_abs, p_mid)
+                        )
             if ckpt is not None:
                 ckpt(
                     "Remapping-Out",

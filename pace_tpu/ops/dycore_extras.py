@@ -143,6 +143,22 @@ def sat_adjust(pt, qv, ql, p_mid, pkz, dt: float, tau_l2v: float = 300.0,
     return pt2, qv2, ql2
 
 
+def cloud_fraction(qv, ql, t, p_mid, rh_crit: float = 0.75,
+                   ql_full: float = 1.5e-4):
+    """Diagnostic cloud fraction (reference do_qa: sat_adj fills the qcld
+    tracer). Sub-grid scheme: fully cloudy once condensate reaches
+    ``ql_full``; partially cloudy from relative humidity above ``rh_crit``
+    (linear), whichever is larger — the standard RH/condensate hybrid used
+    when a prognostic cloud scheme is off."""
+    from ..models.shield.microphysics import saturation_mixing_ratio
+
+    qsat = saturation_mixing_ratio(t, p_mid)
+    rh = jnp.clip(qv / jnp.maximum(qsat, 1e-12), 0.0, 1.0)
+    qa_rh = jnp.clip((rh - rh_crit) / (1.0 - rh_crit), 0.0, 1.0)
+    qa_ql = jnp.clip(ql / ql_full, 0.0, 1.0)
+    return jnp.maximum(qa_rh * qa_rh, qa_ql)
+
+
 def total_energy_columns(u, v, w, delp, pt, pkz, phis):
     """Column-integrated total energy estimate [J/m^2 / g]: internal +
     kinetic + potential, with winds averaged to cell centers (used by the

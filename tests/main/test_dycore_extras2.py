@@ -67,3 +67,23 @@ def test_dycore_with_consv_te_and_sat_adj_runs():
         assert np.isfinite(a).all(), name
     pt = np.asarray(out.pt)[..., h:-h, h:-h]
     assert 150.0 < pt.min() and pt.max() < 3000.0
+
+
+def test_cloud_fraction_limits():
+    """do_qa diagnostic (reference sat_adj qcld fill): clear when dry,
+    cloudy when condensate-rich, partial from high RH."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pace_tpu.ops.dycore_extras import cloud_fraction
+
+    t = jnp.full((4,), 280.0)
+    p = jnp.full((4,), 8.0e4)
+    qv = jnp.array([1e-4, 1e-4, 8e-3, 6.3e-3])   # dry, dry, ~sat, ~0.9 RH
+    ql = jnp.array([0.0, 5e-4, 0.0, 0.0])        # -, thick cloud, -, -
+    qa = np.asarray(cloud_fraction(qv, ql, t, p))
+    assert qa[0] == 0.0            # dry, no condensate
+    assert qa[1] == 1.0            # condensate-saturated
+    assert qa[2] > 0.9             # near water saturation
+    assert 0.0 < qa[3] < 1.0       # partial cover from RH
+    assert ((qa >= 0) & (qa <= 1)).all()
