@@ -42,6 +42,11 @@ class AcousticConfig:
     #: cap on the per-substep dissipation-heating temperature increment,
     #: |dT| <= delt_max * dt [K] (reference temperature_adjust delt_max)
     delt_max: float = 0.002
+    #: rf_fast: apply Rayleigh damping per acoustic substep (reference
+    #: ray_fast inside dyn_core); off -> once per k_split step in the tail
+    rf_fast: bool = False
+    rf_cutoff: float = 750.0
+    tau: float = 0.0
 
 
 @jax.tree_util.register_dataclass
@@ -270,6 +275,19 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         pp = halo.update_scalar(pp, fold="x")
         gz_if = heights_from_delz(delz, phis_x) * constants.GRAV
         u, v = nh_p_grad(u, v, pk_h, gz_if, pp, delp_h, grid, dt)
+    if config.rf_fast and config.tau > 0.0:
+        # rf_fast: Rayleigh damping INSIDE the acoustic substep (reference
+        # ray_fast runs per-substep in dyn_core when rf_fast=.true.); the
+        # slow path applies it once per k_split step in fv_dynamics' tail
+        from ...ops.dycore_extras import ray_fast
+
+        pe_b = ptop + jnp.cumsum(delp_h, axis=-3)
+        top = jnp.full_like(pe_b[..., :1, :, :], ptop)
+        pe_if = jnp.concatenate([top, pe_b], axis=-3)
+        pe_mid = 0.5 * (pe_if[..., 1:, :, :] + pe_if[..., :-1, :, :])
+        u, v, w = ray_fast(
+            u, v, w, pe_mid, dt, ptop, config.rf_cutoff, config.tau
+        )
     u, v = halo.sync_vector_interfaces(u, v, kind="dgrid")
     delp, pt = delp_h, pt_h
 

@@ -103,6 +103,9 @@ class DynamicalCoreConfig:
             p_fac=self.p_fac,
             beta=self.beta,
             delt_max=self.delt_max,
+            rf_fast=self.rf_fast,
+            rf_cutoff=self.rf_cutoff,
+            tau=self.tau,
         )
 
 
@@ -288,7 +291,9 @@ class DynamicalCore:
 
             if cfg.n_sponge > 0 and cfg.d_ext > 0.0:
                 pt = apply_sponge(pt, None, grid, cfg.n_sponge, cfg.d_ext, dt_k)
-            if cfg.tau > 0.0:
+            if cfg.tau > 0.0 and not cfg.rf_fast:
+                # slow Rayleigh path, once per k_split step; with rf_fast
+                # the damping already ran inside each acoustic substep
                 pe_mid = 0.5 * (pe[..., 1:, :, :] + pe[..., :-1, :, :])
                 u, v, w = ray_fast(
                     u, v, w, pe_mid, dt_k, grid.ptop, cfg.rf_cutoff, cfg.tau
