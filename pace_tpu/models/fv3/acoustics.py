@@ -277,14 +277,19 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         u, v = nh_p_grad(u, v, pk_h, gz_if, pp, delp_h, grid, dt)
     if config.rf_fast and config.tau > 0.0:
         # rf_fast: Rayleigh damping INSIDE the acoustic substep (reference
-        # ray_fast runs per-substep in dyn_core when rf_fast=.true.); the
-        # slow path applies it once per k_split step in fv_dynamics' tail
+        # ray_fast runs per-substep in dyn_core when rf_fast=.true.; the
+        # slow path applies it once per k_split step in fv_dynamics' tail).
+        # Like the reference, the damping profile uses the STATIC reference
+        # pressure (ak/bk at p_ref) — a (K,) vector, so the extra per-substep
+        # work is just two broadcasted multiplies, no evolving-pressure
+        # cumsum in the hot loop
         from ...ops.dycore_extras import ray_fast
 
-        pe_b = ptop + jnp.cumsum(delp_h, axis=-3)
-        top = jnp.full_like(pe_b[..., :1, :, :], ptop)
-        pe_if = jnp.concatenate([top, pe_b], axis=-3)
-        pe_mid = 0.5 * (pe_if[..., 1:, :, :] + pe_if[..., :-1, :, :])
+        pe_ref = grid.ak + grid.bk * constants.P_REF  # (K+1,)
+        pmid_ref = 0.5 * (pe_ref[1:] + pe_ref[:-1])
+        # broadcast lazily to the layer shape (XLA fuses it into the damp
+        # multiplies — no materialized array)
+        pe_mid = jnp.broadcast_to(pmid_ref[:, None, None], delp_h.shape[-3:])
         u, v, w = ray_fast(
             u, v, w, pe_mid, dt, ptop, config.rf_cutoff, config.tau
         )
