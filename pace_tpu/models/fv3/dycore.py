@@ -422,15 +422,19 @@ class DynamicalCore:
         ps = pe1[..., -1, :, :]
         pe2 = ak[None, :, None, None] + bk[None, :, None, None] * ps[:, None]
 
-        monotone = True
-        pt = remap_field_best(pt, pe1, pe2, monotone)
+        # kord sign convention (reference map_single iv/kord variants):
+        # kord > 0 -> fully monotone PPM; kord < 0 -> unlimited cubic edges
+        # (less diffusive). The reference's production default kord_tm=-9
+        # remaps temperature non-monotonically.
+        cfg = self.config
+        pt = remap_field_best(pt, pe1, pe2, cfg.kord_tm >= 0)
         if w is not None:
-            w = remap_field_best(w, pe1, pe2, monotone)
+            w = remap_field_best(w, pe1, pe2, cfg.kord_wz >= 0)
         if delz is not None:
             # remap the specific volume (delz per unit mass) conservatively,
             # then rebuild the extensive thickness on the new layers
             dp1 = pe1[..., 1:, :, :] - pe1[..., :-1, :, :]
-            sv = remap_field_best(delz / dp1, pe1, pe2, monotone)
+            sv = remap_field_best(delz / dp1, pe1, pe2, True)
             dp2_l = pe2[..., 1:, :, :] - pe2[..., :-1, :, :]
             delz = sv * dp2_l
         # remap tracers one at a time (reference mapn_tracer loops tracers);
@@ -440,11 +444,13 @@ class DynamicalCore:
         if _jax.default_backend() == "tpu" and q.dtype == jnp.float32:
             # the Pallas kernel grid-blocks over (S, nq) directly — peak VMEM
             # per block is one tracer column block regardless of nq
-            q = remap_field_best(q, pe1[:, None], pe2[:, None], monotone)
+            q = remap_field_best(
+                q, pe1[:, None], pe2[:, None], cfg.kord_tr >= 0
+            )
         else:
             q = jnp.moveaxis(
                 _jax.lax.map(
-                    lambda q1: remap_field(q1, pe1, pe2, monotone),
+                    lambda q1: remap_field(q1, pe1, pe2, cfg.kord_tr >= 0),
                     jnp.moveaxis(q, 1, 0),
                 ),
                 0,
@@ -454,10 +460,10 @@ class DynamicalCore:
         # winds: remap on interface-averaged pressure columns
         pe1_u = pe_at_u_points(pe1)
         pe2_u = pe_at_u_points(pe2)
-        u = remap_field_best(u, pe1_u, pe2_u, monotone)
+        u = remap_field_best(u, pe1_u, pe2_u, cfg.kord_mt >= 0)
         pe1_v = pe_at_v_points(pe1)
         pe2_v = pe_at_v_points(pe2)
-        v = remap_field_best(v, pe1_v, pe2_v, monotone)
+        v = remap_field_best(v, pe1_v, pe2_v, cfg.kord_mt >= 0)
 
         delp = pe2[..., 1:, :, :] - pe2[..., :-1, :, :]
         peln = jnp.log(pe2)
