@@ -583,45 +583,60 @@ class SlabHalo:
                 continue
             d = np.asarray(direction)
             for e, (r0, r1), (c0, c1), is_border in edges:
-                rect = (r0, r1, c0, c1)
-                identity = _Class(0, rect, comp, 1.0)
-                classes = [identity]
-                perm = np.arange(S, dtype=np.int32)
-                klass = np.zeros(S, dtype=np.int32)
-                for s in range(S):
-                    t, py, px = halo._shard_info(s)
-                    if not is_border(px if border_of == "x" else py):
-                        continue
-                    rel = halo.topology.adjacency.get((t, e))
-                    if rel is None:
-                        continue
-                    if (t, e) <= (rel.neighbor_tile, rel.neighbor_edge):
-                        continue  # owner keeps its values
-                    A, b = halo.topology.edge_affine(t, e, n)
-                    jj, ii = np.meshgrid(
-                        np.arange(r0, r1), np.arange(c0, c1), indexing="ij"
+
+                def build_one(name, rect, _e=e, _is_border=is_border,
+                              _comp=comp, _oy=oy, _ox=ox, _d=d,
+                              _border_of=border_of):
+                    (rr0, rr1), (cc0, cc1) = rect
+                    flat = (rr0, rr1, cc0, cc1)
+                    identity = _Class(0, flat, _comp, 1.0)
+                    classes = [identity]
+                    perm = np.arange(S, dtype=np.int32)
+                    klass = np.zeros(S, dtype=np.int32)
+                    for s in range(S):
+                        t, py, px = halo._shard_info(s)
+                        if not _is_border(px if _border_of == "x" else py):
+                            continue
+                        rel = halo.topology.adjacency.get((t, _e))
+                        if rel is None:
+                            continue
+                        if (t, _e) <= (rel.neighbor_tile, rel.neighbor_edge):
+                            continue  # owner keeps its values
+                        A, b = halo.topology.edge_affine(t, _e, n)
+                        jj, ii = np.meshgrid(
+                            np.arange(rr0, rr1), np.arange(cc0, cc1),
+                            indexing="ij",
+                        )
+                        gy = py * halo.nsy + (jj - h) + _oy
+                        gx = px * halo.nsx + (ii - h) + _ox
+                        gy2 = A[0, 0] * gy + A[0, 1] * gx + b[0]
+                        gx2 = A[1, 0] * gy + A[1, 1] * gx + b[1]
+                        t2 = np.full(jj.shape, rel.neighbor_tile)
+                        s2, sj, si, _fy, _fx = halo._locate_source(t2, gy2, gx2)
+                        if not (s2 == s2.flat[0]).all():
+                            # rotated neighbor edge subdivided differently
+                            # (non-square layout) — bisect and retry
+                            raise _SplitNeeded(rect)
+                        rot_k, src_rect = _fit_transform(jj, ii, sj, si)
+                        img = A @ _d
+                        if abs(img[1]) > 0.5:
+                            src_comp, sign = "u", float(np.sign(img[1]))
+                        else:
+                            src_comp, sign = "v", float(np.sign(img[0]))
+                        c = _Class(rot_k, src_rect, src_comp, sign)
+                        if c not in classes:
+                            classes.append(c)
+                        perm[s] = int(s2.flat[0])
+                        klass[s] = classes.index(c)
+                    return _RegionOp(
+                        flat, perm, klass, tuple(classes), name=name
                     )
-                    gy = py * halo.nsy + (jj - h) + oy
-                    gx = px * halo.nsx + (ii - h) + ox
-                    gy2 = A[0, 0] * gy + A[0, 1] * gx + b[0]
-                    gx2 = A[1, 0] * gy + A[1, 1] * gx + b[1]
-                    t2 = np.full(jj.shape, rel.neighbor_tile)
-                    s2, sj, si, _fy, _fx = halo._locate_source(t2, gy2, gx2)
-                    assert (
-                        s2 == s2.flat[0]
-                    ).all(), "sync line spans source shards (non-square layout?)"
-                    rot_k, src_rect = _fit_transform(jj, ii, sj, si)
-                    img = A @ d
-                    if abs(img[1]) > 0.5:
-                        src_comp, sign = "u", float(np.sign(img[1]))
-                    else:
-                        src_comp, sign = "v", float(np.sign(img[0]))
-                    c = _Class(rot_k, src_rect, src_comp, sign)
-                    if c not in classes:
-                        classes.append(c)
-                    perm[s] = int(s2.flat[0])
-                    klass[s] = classes.index(c)
-                ops[comp].append(_RegionOp(rect, perm, klass, tuple(classes)))
+
+                ops[comp].extend(
+                    self._region_ops_split(
+                        f"sync-{comp}", ((r0, r1), (c0, c1)), build_one
+                    )
+                )
         return ops
 
     def sync_vector_interfaces(self, u, v, kind: str = "dgrid"):

@@ -39,10 +39,14 @@ def _run(layout, n_steps=2, hydrostatic=True):
     return state, CubedSpherePartitioner.from_layout(layout)
 
 
-@pytest.mark.parametrize("hydrostatic", [True, False])
-def test_step_layout_invariance(hydrostatic):
+@pytest.mark.parametrize(
+    "hydrostatic,layout",
+    [(True, (2, 2)), (False, (2, 2)), (True, (1, 2))],
+)
+def test_step_layout_invariance(hydrostatic, layout):
+    """(1,2) covers the non-square shard ordering; (2,2) the full split."""
     s11, p11 = _run((1, 1), hydrostatic=hydrostatic)
-    s22, p22 = _run((2, 2), hydrostatic=hydrostatic)
+    s22, p22 = _run(layout, hydrostatic=hydrostatic)
 
     center = ["delp", "pt"] + ([] if hydrostatic else ["w", "delz"])
     for name in center:
