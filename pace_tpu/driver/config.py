@@ -53,6 +53,7 @@ class PhysicsEnableConfig:
     microphysics: Optional[dict] = None
     pbl: Optional[dict] = None
     radiation: Optional[dict] = None
+    shallow_convection: Optional[dict] = None
 
 
 @dataclasses.dataclass(frozen=True)

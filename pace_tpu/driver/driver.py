@@ -116,6 +116,7 @@ class Driver:
             from ..models.shield.pbl import PBLConfig
             from ..models.shield.physics import Physics
             from ..models.shield.radiation import GrayRadiationConfig
+            from ..models.shield.sas import ShallowConvectionConfig
             from ..utils.registry import from_dict
 
             pc = config.physics_config
@@ -128,6 +129,9 @@ class Driver:
                 pbl_config=from_dict(PBLConfig, pc.pbl or {}),
                 radiation_config=from_dict(
                     GrayRadiationConfig, pc.radiation or {}
+                ),
+                sas_config=from_dict(
+                    ShallowConvectionConfig, pc.shallow_convection or {}
                 ),
             )
 

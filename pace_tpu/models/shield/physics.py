@@ -27,7 +27,8 @@ from ..fv3.state import DycoreState, TRACER_NAMES
 from .microphysics import MicrophysicsConfig, microphysics_step
 
 PHYSICS_PACKAGES = (
-    "GFS_microphysics", "GFS_PBL", "held_suarez", "gray_radiation"
+    "GFS_microphysics", "GFS_PBL", "GFS_shallow_convection", "held_suarez",
+    "gray_radiation"
 )
 
 _IQ = {name: i for i, name in enumerate(TRACER_NAMES)}
@@ -161,7 +162,7 @@ class Physics:
 
     def __init__(self, grid, schemes, timestep: float, config=None,
                  fv_sg_adj: float = 0.0, pbl_config=None,
-                 radiation_config=None):
+                 radiation_config=None, sas_config=None):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -180,6 +181,11 @@ class Physics:
 
             radiation_config = GrayRadiationConfig()
         self.radiation_config = radiation_config
+        if sas_config is None:
+            from .sas import ShallowConvectionConfig
+
+            sas_config = ShallowConvectionConfig()
+        self.sas_config = sas_config
         self.grid = grid
         self.fv_sg_adj = float(fv_sg_adj)
         self._call = jax.jit(self._call_impl)
@@ -187,13 +193,12 @@ class Physics:
     def __call__(self, state: DycoreState) -> DycoreState:
         return self._call(state)
 
-    def _pbl(self, state: DycoreState) -> DycoreState:
+    def _a_grid_winds(self, state: DycoreState):
+        """Contravariant A-grid winds from the D-grid state (d2a2c center leg)."""
         from ...ops.d2a2c import cartesian_wind_centers
         from ...ops.stencil_utils import bcast_k
-        from .pbl import pbl_step
 
         grid = self.grid
-        # contravariant A-grid winds from the D-grid state (d2a2c center leg)
         vcart = cartesian_wind_centers(state.u, state.v, grid)
         u_cov = jnp.sum(vcart * bcast_k(grid.ec1, vcart), axis=-3)
         v_cov = jnp.sum(vcart * bcast_k(grid.ec2, vcart), axis=-3)
@@ -201,6 +206,13 @@ class Physics:
         cosa_s = bcast_k(grid.cosa_s, u_cov)
         ua = (u_cov - v_cov * cosa_s) * rsin2
         va = (v_cov - u_cov * cosa_s) * rsin2
+        return ua, va
+
+    def _pbl(self, state: DycoreState) -> DycoreState:
+        from .pbl import pbl_step
+
+        grid = self.grid
+        ua, va = self._a_grid_winds(state)
 
         qv = state.q[:, _IQ["qvapor"]]
         pkz = state.pkz
@@ -215,6 +227,29 @@ class Physics:
         )
         pt_new = t_new * (1.0 + constants.ZVIR * qv_new) / pkz
         q_new = state.q.at[:, _IQ["qvapor"]].set(qv_new)
+        return dataclasses.replace(
+            state, u=u_new, v=v_new, pt=pt_new, q=q_new
+        )
+
+    def _sas(self, state: DycoreState) -> DycoreState:
+        from .sas import sas_step
+
+        ua, va = self._a_grid_winds(state)
+        qv = state.q[:, _IQ["qvapor"]]
+        ql = state.q[:, _IQ["qliquid"]]
+        pkz = state.pkz
+        t = state.pt * pkz / (1.0 + constants.ZVIR * qv)
+        p_mid = 0.5 * (state.pe[..., 1:, :, :] + state.pe[..., :-1, :, :])
+        u_dt, v_dt, t_new, qv_new, ql_new = sas_step(
+            ua, va, t, qv, ql, state.pe, p_mid, state.delp, self.timestep,
+            self.sas_config,
+        )
+        u_new, v_new = apply_wind_tendencies(
+            state.u, state.v, u_dt, v_dt, self.grid, self.timestep
+        )
+        pt_new = t_new * (1.0 + constants.ZVIR * qv_new) / pkz
+        q_new = state.q.at[:, _IQ["qvapor"]].set(qv_new)
+        q_new = q_new.at[:, _IQ["qliquid"]].set(ql_new)
         return dataclasses.replace(
             state, u=u_new, v=v_new, pt=pt_new, q=q_new
         )
@@ -247,6 +282,8 @@ class Physics:
             state = dataclasses.replace(state, pt=pt_new)
         if "GFS_PBL" in self.schemes:
             state = self._pbl(state)
+        if "GFS_shallow_convection" in self.schemes:
+            state = self._sas(state)
         if "GFS_microphysics" not in self.schemes:
             return state
         phy = dycore_to_physics(state)
