@@ -1,4 +1,4 @@
-"""GFS-style planetary-boundary-layer scheme (K-profile + implicit diffusion).
+"""EDMF planetary-boundary-layer scheme (eddy-diffusivity mass-flux).
 
 TPU-native analog of the reference's PBL slot: pySHiELD ports the GFS EDMF
 PBL standalone but does not integrate it (reference docs/physics/index.rst:5-8
@@ -21,6 +21,12 @@ in a TPU-first form:
 - **backward-Euler implicit vertical diffusion** of momentum (A-grid winds),
   dry static energy s = cp*T + g*z, and water vapor; implicit surface drag
   from a neutral log-law bulk coefficient. Unconditionally stable at any dt.
+- **mass-flux component (the MF in EDMF)**: under convective conditions a
+  single entraining updraft (Siebesma et al. 2007) transports s and qv
+  non-locally through the conservative flux form shared with the shallow-
+  convection scheme (mf_common.py) — this is the counter-gradient transport
+  a pure K-profile misses. `lax.scan` bottom-up plume, per-interface CFL
+  clip, exact column conservation.
 
 Index convention: k increases DOWNWARD (k=0 model top), like the dycore.
 """
@@ -49,6 +55,15 @@ class PBLConfig:
     #: prescribed kinematic surface fluxes (idealized runs have no LSM):
     sensible_heat_flux: float = 0.0  #: w'T' [K m/s]
     latent_heat_flux: float = 0.0    #: w'q' [kg/kg m/s]
+    #: --- EDMF mass-flux component (Siebesma et al. 2007 single updraft;
+    #: active only under convective conditions, i.e. positive surface
+    #: buoyancy flux):
+    mass_flux: bool = True
+    mf_area: float = 0.1      #: updraft area fraction a_u
+    mf_entrain_c: float = 0.4  #: eps = c * (1/z + 1/(h-z))
+    mf_excess: float = 0.3    #: surface excess = b * w'x'_s / w*
+    mf_w_a: float = 1.0       #: buoyancy production coeff in the w_u eq
+    mf_w_b: float = 1.5       #: entrainment drag coeff in the w_u eq
 
 
 def _tridiag_solve(lower, diag, upper, rhs):
@@ -147,6 +162,89 @@ def _diffusivities(ua, va, thv, z_mid, z_if, cfg: PBLConfig):
     return k_m, ustar, cd, spd1, h
 
 
+def _mass_flux_tendencies(s, qv, thv, tv, z_mid, dz, p_mid, delp, h, wstar,
+                          wthv_sfc, shf, lhf, dt: float, cfg: PBLConfig):
+    """EDMF updraft transport of dry static energy and vapor.
+
+    Single entraining updraft (Siebesma et al. 2007): surface excess scaled
+    by w*, entrainment eps = c*(1/z + 1/(h-z)), vertical-velocity equation
+    0.5 d(w^2)/dz = a*B - b*eps*w^2, mass flux M = a_u * rho * w_u applied
+    through the conservative flux form (mf_common.flux_form_divergence) —
+    exact column conservation of s and qv. Returns (ds_dt, dqv_dt).
+    """
+    from .mf_common import flux_form_divergence
+
+    kax = -3
+    K = s.shape[kax]
+    g = constants.GRAV
+    convective = wthv_sfc > 1e-8
+    wscale = jnp.maximum(wstar, 1e-3)
+    # surface excess in the lowest layer
+    s1 = s[..., -1, :, :] + cfg.mf_excess * constants.CP_AIR * shf / wscale
+    q1 = qv[..., -1, :, :] + cfg.mf_excess * lhf / wscale
+    hb = jnp.maximum(h, 10.0)
+
+    def to_k_leading(x):
+        return jnp.moveaxis(x, kax, 0)
+
+    # lowest-layer mask, same shape as s (scan runs bottom-up)
+    is_bottom = (
+        jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim + kax) == K - 1
+    )
+
+    def plume(carry, xs):
+        s_u, q_u, w2, active = carry
+        (s_k, q_k, thv_k, tv_k, z_k, dz_k, p_k, bottom_k) = xs
+        eps = cfg.mf_entrain_c * (
+            1.0 / jnp.maximum(z_k, 10.0)
+            + 1.0 / jnp.maximum(hb - z_k, 10.0)
+        )
+        edz = eps * dz_k
+        f = 1.0 / (1.0 + edz)
+        s_new = jnp.where(bottom_k, s1, (s_u + edz * s_k) * f)
+        q_new = jnp.where(bottom_k, q1, (q_u + edz * q_k) * f)
+        t_u = (s_new - g * z_k) / constants.CP_AIR
+        thv_u = t_u * (constants.P_REF / p_k) ** constants.KAPPA \
+            * (1.0 + constants.ZVIR * q_new)
+        buoy = g * (thv_u - thv_k) / thv_k
+        w2_new = jnp.where(
+            bottom_k,
+            (cfg.mf_excess * wscale) ** 2,
+            w2 * (1.0 - cfg.mf_w_b * edz) + 2.0 * cfg.mf_w_a * buoy * dz_k,
+        )
+        active = (bottom_k | active) & (w2_new > 0.0) & (z_k < hb)
+        w2_new = jnp.maximum(w2_new, 0.0)
+        rho_k = p_k / (constants.RDGAS * tv_k)
+        m_k = jnp.where(active & convective,
+                        cfg.mf_area * rho_k * jnp.sqrt(w2_new), 0.0)
+        return (s_new, q_new, w2_new, active), (s_new, q_new, m_k)
+
+    zc = jnp.zeros_like(s[..., 0, :, :])
+    fc = jnp.zeros_like(zc, dtype=bool)
+    xs = tuple(
+        jnp.flip(to_k_leading(a), axis=0)
+        for a in (s, qv, thv, tv, z_mid, dz, p_mid, is_bottom)
+    )
+    _, (s_u, q_u, m_lay) = jax.lax.scan(plume, (zc, zc, zc, fc), xs)
+    s_u, q_u, m_lay = (
+        jnp.moveaxis(jnp.flip(a, axis=0), 0, kax) for a in (s_u, q_u, m_lay)
+    )
+
+    # interface mass flux: interface i <- layer i below it; zero at the
+    # ground (i=K) and the model top (i=0) -> exact conservation; per-
+    # interface CFL clip keeps the explicit update stable at any dt.
+    zero = jnp.zeros_like(m_lay[..., :1, :, :])
+    m_if = jnp.concatenate([zero, m_lay[..., 1:, :, :], zero], axis=kax)
+    dp_min = jnp.minimum(
+        jnp.concatenate([delp[..., :1, :, :], delp], axis=kax),
+        jnp.concatenate([delp, delp[..., -1:, :, :]], axis=kax),
+    )
+    m_if = jnp.minimum(m_if, 0.5 * dp_min / (g * dt))
+    ds = flux_form_divergence(m_if, s_u, s, delp)
+    dq = flux_form_divergence(m_if, q_u, qv, delp)
+    return ds, dq
+
+
 def pbl_step(ua, va, t, qv, pe, p_mid, delp, z_sfc, dt: float, cfg: PBLConfig):
     """One PBL step. All fields (S, K, Y, X) on the A grid; pe (S, K+1, Y, X).
 
@@ -172,6 +270,23 @@ def pbl_step(ua, va, t, qv, pe, p_mid, delp, z_sfc, dt: float, cfg: PBLConfig):
     thv = tv * (constants.P_REF / p_mid) ** constants.KAPPA
     k_m, ustar, cd, spd1, h = _diffusivities(ua, va, thv, z_mid, z_if, cfg)
     k_h = k_m / cfg.prandtl
+
+    # --- EDMF mass-flux transport of s and qv (convective conditions only)
+    s = constants.CP_AIR * t + constants.GRAV * z_mid
+    if cfg.mass_flux:
+        thv1 = thv[..., -1, :, :]
+        wthv_sfc = cfg.sensible_heat_flux \
+            * (1.0 + constants.ZVIR * qv[..., -1, :, :]) \
+            + constants.ZVIR * t[..., -1, :, :] * cfg.latent_heat_flux
+        wstar = jnp.cbrt(jnp.maximum(
+            constants.GRAV / thv1 * wthv_sfc * jnp.maximum(h, 1.0), 0.0
+        ))
+        ds_mf, dq_mf = _mass_flux_tendencies(
+            s, qv, thv, tv, z_mid, dz, p_mid, delp, h, wstar, wthv_sfc,
+            cfg.sensible_heat_flux, cfg.latent_heat_flux, dt, cfg,
+        )
+        s = s + dt * ds_mf
+        qv = qv + dt * dq_mf
 
     # implicit diffusion in pressure coordinates:
     #   dX_k/dt = g/δp_k * [ (rho^2 g K / δp̂)_{k+1/2} (X_{k+1}-X_k) - ... ]
@@ -199,8 +314,8 @@ def pbl_step(ua, va, t, qv, pe, p_mid, delp, z_sfc, dt: float, cfg: PBLConfig):
     ua_new = _tridiag_solve(lo, di, up, ua)
     va_new = _tridiag_solve(lo, di, up, va)
 
-    # dry static energy and moisture (zero-flux surface unless prescribed)
-    s = constants.CP_AIR * t + constants.GRAV * z_mid
+    # dry static energy and moisture (zero-flux surface unless prescribed;
+    # s/qv already include the EDMF mass-flux increment when enabled)
     lo, di, up = build(k_h, None)
     rhs_s = s.at[..., -1, :, :].add(
         dt * constants.GRAV * rho1 * constants.CP_AIR * cfg.sensible_heat_flux

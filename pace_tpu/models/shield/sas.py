@@ -51,6 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import constants
+from .mf_common import flux_form_divergence
 from .microphysics import saturation_mixing_ratio
 
 
@@ -225,15 +226,7 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
     m_if = mb[..., None, :, :] * shape_if  # [kg/m^2/s], upward
 
     def flux_div(x_u, x_env):
-        """g * d/dp [ M * (x_u - x_env) ]: plume value from the layer below
-        each interface, environment (compensating subsidence) upwind from the
-        layer above."""
-        # interface i <- layer i (below); i=K has no layer below but M=0 there
-        xu_if = jnp.concatenate([x_u, x_u[..., -1:, :, :]], axis=kax)
-        # interface i <- layer i-1 (above); i=0 has none but M=0 there
-        xe_if = jnp.concatenate([x_env[..., :1, :, :], x_env], axis=kax)
-        f = m_if * (xu_if - xe_if)
-        return g * (f[..., 1:, :, :] - f[..., :-1, :, :]) / delp
+        return flux_form_divergence(m_if, x_u, x_env, delp)
 
     # mask plume values to the environment outside the plume so that stale
     # scan values cannot leak through (M is zero there anyway)

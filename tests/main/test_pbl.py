@@ -124,3 +124,40 @@ def test_physics_integration_baroclinic():
     # PBL drag + mixing changes the winds, but boundedly
     assert not np.array_equal(u_in, u_out)
     assert np.abs(u_out).max() < np.abs(u_in).max() + 5.0
+
+
+def test_edmf_mass_flux_conserves_and_transports():
+    """The MF component moves heat non-locally but conserves the column
+    enthalpy exactly: MF-on and MF-off runs differ in profile shape yet have
+    identical column integrals (same prescribed surface-flux input)."""
+    from pace_tpu import constants
+
+    ua, va, t, qv, pe, p_mid, delp, zs = _column_setup(K=24, unstable=True)
+    cfg_on = PBLConfig(sensible_heat_flux=0.15, latent_heat_flux=1e-4,
+                       mass_flux=True)
+    cfg_off = dataclasses.replace(cfg_on, mass_flux=False)
+    out_on = pbl_step(ua, va, t, qv, pe, p_mid, delp, zs, 600.0, cfg_on)
+    out_off = pbl_step(ua, va, t, qv, pe, p_mid, delp, zs, 600.0, cfg_off)
+    t_on, q_on = out_on[2], out_on[3]
+    t_off, q_off = out_off[2], out_off[3]
+    # MF changed the profile ...
+    assert float(jnp.max(jnp.abs(t_on - t_off))) > 1e-4
+    # ... but not the column budget (flux form, M = 0 at both ends)
+    def col(tt, qq):
+        return jnp.sum((constants.CP_AIR * tt + constants.HLV * qq) * delp,
+                       axis=-3)
+    np.testing.assert_allclose(np.asarray(col(t_on, q_on)),
+                               np.asarray(col(t_off, q_off)), rtol=1e-12)
+    # non-local transport: the updraft warms the upper boundary layer more
+    # than pure diffusion does somewhere above the lowest two levels
+    assert float(jnp.max((t_on - t_off)[..., :-2, :, :])) > 0.0
+
+
+def test_edmf_inactive_without_surface_buoyancy_flux():
+    ua, va, t, qv, pe, p_mid, delp, zs = _column_setup()
+    cfg_on = PBLConfig(mass_flux=True)    # zero surface fluxes
+    cfg_off = PBLConfig(mass_flux=False)
+    out_on = pbl_step(ua, va, t, qv, pe, p_mid, delp, zs, 600.0, cfg_on)
+    out_off = pbl_step(ua, va, t, qv, pe, p_mid, delp, zs, 600.0, cfg_off)
+    for a, b in zip(out_on, out_off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
