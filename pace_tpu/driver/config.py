@@ -54,6 +54,9 @@ class PhysicsEnableConfig:
     pbl: Optional[dict] = None
     radiation: Optional[dict] = None
     shallow_convection: Optional[dict] = None
+    #: interactive lower boundary (surface.py SurfaceConfig fields;
+    #: type: none|land|seaice)
+    surface: Optional[dict] = None
 
 
 @dataclasses.dataclass(frozen=True)

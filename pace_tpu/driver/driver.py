@@ -117,6 +117,7 @@ class Driver:
             from ..models.shield.physics import Physics
             from ..models.shield.radiation import GrayRadiationConfig
             from ..models.shield.sas import ShallowConvectionConfig
+            from ..models.shield.surface import SurfaceConfig
             from ..utils.registry import from_dict
 
             pc = config.physics_config
@@ -133,6 +134,7 @@ class Driver:
                 sas_config=from_dict(
                     ShallowConvectionConfig, pc.shallow_convection or {}
                 ),
+                surface_config=from_dict(SurfaceConfig, pc.surface or {}),
             )
 
         self.diagnostics = config.diagnostics_config.diagnostics_factory(

@@ -245,13 +245,20 @@ def _mass_flux_tendencies(s, qv, thv, tv, z_mid, dz, p_mid, delp, h, wstar,
     return ds, dq
 
 
-def pbl_step(ua, va, t, qv, pe, p_mid, delp, z_sfc, dt: float, cfg: PBLConfig):
+def pbl_step(ua, va, t, qv, pe, p_mid, delp, z_sfc, dt: float, cfg: PBLConfig,
+             sensible_heat_flux=None, latent_heat_flux=None):
     """One PBL step. All fields (S, K, Y, X) on the A grid; pe (S, K+1, Y, X).
 
     Returns (u_dt, v_dt, t_new, qv_new, pbl_height): *tendencies* for the
     winds (applied by the caller through the A->D projection) and updated
-    thermodynamic fields.
+    thermodynamic fields. ``sensible_heat_flux``/``latent_heat_flux`` arrays
+    (kinematic, (.., Y, X)) override the cfg constants — the interactive-
+    surface coupling (surface.py).
     """
+    shf = cfg.sensible_heat_flux if sensible_heat_flux is None \
+        else sensible_heat_flux
+    lhf = cfg.latent_heat_flux if latent_heat_flux is None \
+        else latent_heat_flux
     # virtual temperature / heights (hydrostatic integration of peln)
     tv = t * (1.0 + constants.ZVIR * qv)
     peln = jnp.log(pe)
@@ -275,15 +282,14 @@ def pbl_step(ua, va, t, qv, pe, p_mid, delp, z_sfc, dt: float, cfg: PBLConfig):
     s = constants.CP_AIR * t + constants.GRAV * z_mid
     if cfg.mass_flux:
         thv1 = thv[..., -1, :, :]
-        wthv_sfc = cfg.sensible_heat_flux \
-            * (1.0 + constants.ZVIR * qv[..., -1, :, :]) \
-            + constants.ZVIR * t[..., -1, :, :] * cfg.latent_heat_flux
+        wthv_sfc = shf * (1.0 + constants.ZVIR * qv[..., -1, :, :]) \
+            + constants.ZVIR * t[..., -1, :, :] * lhf
         wstar = jnp.cbrt(jnp.maximum(
             constants.GRAV / thv1 * wthv_sfc * jnp.maximum(h, 1.0), 0.0
         ))
         ds_mf, dq_mf = _mass_flux_tendencies(
             s, qv, thv, tv, z_mid, dz, p_mid, delp, h, wstar, wthv_sfc,
-            cfg.sensible_heat_flux, cfg.latent_heat_flux, dt, cfg,
+            shf, lhf, dt, cfg,
         )
         s = s + dt * ds_mf
         qv = qv + dt * dq_mf
@@ -318,11 +324,11 @@ def pbl_step(ua, va, t, qv, pe, p_mid, delp, z_sfc, dt: float, cfg: PBLConfig):
     # s/qv already include the EDMF mass-flux increment when enabled)
     lo, di, up = build(k_h, None)
     rhs_s = s.at[..., -1, :, :].add(
-        dt * constants.GRAV * rho1 * constants.CP_AIR * cfg.sensible_heat_flux
+        dt * constants.GRAV * rho1 * constants.CP_AIR * shf
         / delp[..., -1, :, :]
     )
     rhs_q = qv.at[..., -1, :, :].add(
-        dt * constants.GRAV * rho1 * cfg.latent_heat_flux / delp[..., -1, :, :]
+        dt * constants.GRAV * rho1 * lhf / delp[..., -1, :, :]
     )
     s_new = _tridiag_solve(lo, di, up, rhs_s)
     qv_new = jnp.maximum(_tridiag_solve(lo, di, up, rhs_q), 0.0)

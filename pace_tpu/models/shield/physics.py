@@ -162,7 +162,8 @@ class Physics:
 
     def __init__(self, grid, schemes, timestep: float, config=None,
                  fv_sg_adj: float = 0.0, pbl_config=None,
-                 radiation_config=None, sas_config=None):
+                 radiation_config=None, sas_config=None,
+                 surface_config=None):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -188,10 +189,28 @@ class Physics:
         self.sas_config = sas_config
         self.grid = grid
         self.fv_sg_adj = float(fv_sg_adj)
+        # interactive lower boundary (surface.py): LSM or sea ice carried as
+        # Physics-held state, threaded functionally through the jitted step
+        from .surface import SurfaceConfig, build_surface
+
+        if surface_config is None:
+            surface_config = SurfaceConfig()
+        self.surface_config = surface_config
+        self._surface = build_surface(surface_config)
+        self.surface_state = None
         self._call = jax.jit(self._call_impl)
 
     def __call__(self, state: DycoreState) -> DycoreState:
-        return self._call(state)
+        if self._surface is not None:
+            if self.surface_state is None:
+                _, init, _, _ = self._surface
+                self.surface_state = init(
+                    state.ps.shape, state.ps.dtype
+                )
+            state, self.surface_state = self._call(state, self.surface_state)
+            return state
+        state, _ = self._call(state, None)
+        return state
 
     def _a_grid_winds(self, state: DycoreState):
         """Contravariant A-grid winds from the D-grid state (d2a2c center leg)."""
@@ -208,7 +227,7 @@ class Physics:
         va = (v_cov - u_cov * cosa_s) * rsin2
         return ua, va
 
-    def _pbl(self, state: DycoreState) -> DycoreState:
+    def _pbl(self, state: DycoreState, shf=None, lhf=None) -> DycoreState:
         from .pbl import pbl_step
 
         grid = self.grid
@@ -221,6 +240,7 @@ class Physics:
         u_dt, v_dt, t_new, qv_new, _h = pbl_step(
             ua, va, t, qv, state.pe, p_mid, state.delp, state.phis,
             self.timestep, self.pbl_config,
+            sensible_heat_flux=shf, latent_heat_flux=lhf,
         )
         u_new, v_new = apply_wind_tendencies(
             state.u, state.v, u_dt, v_dt, grid, self.timestep
@@ -231,7 +251,7 @@ class Physics:
             state, u=u_new, v=v_new, pt=pt_new, q=q_new
         )
 
-    def _sas(self, state: DycoreState) -> DycoreState:
+    def _sas(self, state: DycoreState, shf=None, lhf=None) -> DycoreState:
         from .sas import sas_step
 
         ua, va = self._a_grid_winds(state)
@@ -243,6 +263,7 @@ class Physics:
         u_dt, v_dt, t_new, qv_new, ql_new = sas_step(
             ua, va, t, qv, ql, state.pe, p_mid, state.delp, self.timestep,
             self.sas_config,
+            sensible_heat_flux=shf, latent_heat_flux=lhf,
         )
         u_new, v_new = apply_wind_tendencies(
             state.u, state.v, u_dt, v_dt, self.grid, self.timestep
@@ -254,7 +275,34 @@ class Physics:
             state, u=u_new, v=v_new, pt=pt_new, q=q_new
         )
 
-    def _call_impl(self, state: DycoreState) -> DycoreState:
+    def _surface_forcing(self, state: DycoreState, sw_dn, lw_dn, sfc):
+        """Assemble the lowest-model-level forcing dict lsm_step/seaice_step
+        take; prescribed-constant radiation when gray_radiation is off."""
+        qv1 = state.q[:, _IQ["qvapor"], -1, :, :]
+        t1 = (
+            state.pt[..., -1, :, :] * state.pkz[..., -1, :, :]
+            / (1.0 + constants.ZVIR * qv1)
+        )
+        ua, va = self._a_grid_winds(state)
+        wind1 = jnp.sqrt(
+            ua[..., -1, :, :] ** 2 + va[..., -1, :, :] ** 2
+        )
+        pe_b = state.pe[..., -1, :, :]
+        pe_a = state.pe[..., -2, :, :]
+        tv1 = t1 * (1.0 + constants.ZVIR * qv1)
+        z1 = 0.5 * constants.RDGAS * tv1 / constants.GRAV \
+            * jnp.log(pe_b / pe_a)
+        cfg = self.surface_config
+        if sw_dn is None:
+            sw_dn = jnp.full_like(t1, cfg.sw_dn)
+        if lw_dn is None:
+            lw_dn = jnp.full_like(t1, cfg.lw_dn)
+        return dict(
+            t1=t1, qv1=qv1, wind1=wind1, z1=z1, p_sfc=pe_b,
+            sw_dn=sw_dn, lw_dn=lw_dn, precip=sfc.precip,
+        )
+
+    def _call_impl(self, state: DycoreState, sfc):
         if self.fv_sg_adj > 0.0:
             pt_adj, q_adj = dry_convective_adjustment(
                 state.pt, state.q, state.delp, self.timestep, self.fv_sg_adj
@@ -269,23 +317,44 @@ class Physics:
                 self.grid.f0, self.timestep, HeldSuarezConfig(),
             )
             state = dataclasses.replace(state, u=u_new, v=v_new, pt=pt_new)
+        # --- radiation (also supplies the surface's downward fluxes)
+        lw_dn_sfc = None
+        sw_dn_sfc = None
         if "gray_radiation" in self.schemes:
-            from .radiation import gray_radiation_step
+            from .radiation import (
+                gray_radiation_step_fluxes, sw_down_surface,
+            )
 
             sinlat = jnp.clip(
                 self.grid.f0 / (2.0 * constants.OMEGA), -1.0, 1.0
             )
-            pt_new = gray_radiation_step(
+            t_surf = None
+            if sfc is not None:
+                t_surf = self._surface[3](sfc)
+            pt_new, lw_dn_sfc = gray_radiation_step_fluxes(
                 state.pt, state.pkz, state.pe, state.ps,
                 sinlat * sinlat, self.timestep, self.radiation_config,
+                t_surf=t_surf,
+            )
+            sw_dn_sfc = jnp.broadcast_to(
+                sw_down_surface(sinlat * sinlat, self.radiation_config),
+                state.ps.shape,
             )
             state = dataclasses.replace(state, pt=pt_new)
+        # --- interactive lower boundary: LSM / sea ice produce the surface
+        # fluxes that drive the PBL and shallow convection
+        shf = lhf = None
+        if sfc is not None:
+            forcing = self._surface_forcing(state, sw_dn_sfc, lw_dn_sfc, sfc)
+            fluxes, sfc = self._surface[2](forcing, sfc, self.timestep)
+            shf = fluxes["sensible_heat_flux"]
+            lhf = fluxes["latent_heat_flux"]
         if "GFS_PBL" in self.schemes:
-            state = self._pbl(state)
+            state = self._pbl(state, shf, lhf)
         if "GFS_shallow_convection" in self.schemes:
-            state = self._sas(state)
+            state = self._sas(state, shf, lhf)
         if "GFS_microphysics" not in self.schemes:
-            return state
+            return state, sfc
         phy = dycore_to_physics(state)
         qv, ql, qi, qr, qs, qg, t, precip = microphysics_step(
             phy.qvapor,
@@ -304,7 +373,10 @@ class Physics:
             phy, qvapor=qv, qliquid=ql, qice=qi, qrain=qr, qsnow=qs,
             qgraupel=qg, pt=t, precip=precip,
         )
-        return update_atmosphere_state(state, phy)
+        if sfc is not None:
+            # carry this step's precipitation rate to next step's surface
+            sfc = dataclasses.replace(sfc, precip=precip / self.timestep)
+        return update_atmosphere_state(state, phy), sfc
 
 
 def apply_wind_tendencies(u, v, u_dt, v_dt, grid, dt: float):

@@ -100,20 +100,39 @@ def sw_surface(sinlat2, cfg: GrayRadiationConfig):
     )
 
 
-def gray_radiation_step(pt, pkz, pe, ps, sinlat2, dt: float,
-                        cfg: GrayRadiationConfig):
-    """One radiation step on dycore fields: returns updated pt.
+def sw_down_surface(sinlat2, cfg: GrayRadiationConfig):
+    """Downward SW at the surface BEFORE surface albedo — what an interactive
+    surface scheme (lsm.py / seaice.py) takes as forcing, applying its own
+    albedo. The gray atmosphere is SW-transparent."""
+    p2 = (1.0 - 3.0 * sinlat2) / 4.0
+    return cfg.solar_constant / 4.0 * (1.0 + cfg.del_sol * p2)
+
+
+def gray_radiation_step_fluxes(pt, pkz, pe, ps, sinlat2, dt: float,
+                               cfg: GrayRadiationConfig, t_surf=None):
+    """One radiation step on dycore fields: returns (updated pt, LW down at
+    the surface [W/m^2]).
 
     Heating: dT/dt = g/cp * d(net_up)/dp with net_up = U - D, computed from
     exact layer propagators; applied explicitly (radiative time scales are
-    days, vs dt of minutes).
+    days, vs dt of minutes). ``t_surf`` (scalar or (.., Y, X) array) overrides
+    the prescribed surface temperature — the interactive-surface coupling.
     """
     t_lay = pt * pkz  # dry: T = pt * pkz
     tau = optical_depth(pe, ps, sinlat2, cfg)
-    up, down = lw_fluxes(t_lay, tau, cfg.t_surf)
+    if t_surf is None:
+        t_surf = cfg.t_surf
+    up, down = lw_fluxes(t_lay, tau, t_surf)
     net = up - down  # positive upward
     dnet = net[..., 1:, :, :] - net[..., :-1, :, :]
     dp = pe[..., 1:, :, :] - pe[..., :-1, :, :]
     heating = constants.GRAV / constants.CP_AIR * dnet / dp  # [K/s]
     t_new = t_lay + dt * heating
-    return pt * (t_new / t_lay)
+    return pt * (t_new / t_lay), down[..., -1, :, :]
+
+
+def gray_radiation_step(pt, pkz, pe, ps, sinlat2, dt: float,
+                        cfg: GrayRadiationConfig):
+    """One radiation step on dycore fields: returns updated pt."""
+    pt_new, _ = gray_radiation_step_fluxes(pt, pkz, pe, ps, sinlat2, dt, cfg)
+    return pt_new

@@ -1,0 +1,114 @@
+"""Interactive lower boundary: couples the LSM / sea-ice schemes into the
+physics loop.
+
+The reference leaves NOAH LSM and sea ice standalone (docs/physics/index.rst:
+5-8); here they can additionally run *coupled*: the surface scheme consumes
+the gray-radiation surface fluxes and the lowest-model-level state, produces
+kinematic sensible/latent heat fluxes, and those drive the EDMF PBL and the
+SAS shallow convection — closing the surface-flux loop that idealized runs
+otherwise prescribe as constants. Precipitation from the previous step's
+microphysics is carried in the surface state (one-step lag, the standard
+physics-coupling pattern).
+
+All surface fields live on dense (S, Y, X) planes (halo columns compute
+harmlessly and are never read back into the dycore's compute domain), so the
+coupling adds no communication and stays inside the one jitted physics step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfaceConfig:
+    """Lower-boundary selection.
+
+    ``type``: ``none`` (prescribed constant fluxes from the PBL/SAS configs —
+    the default, matching the reference's uncoupled physics), ``land``
+    (NOAH-style LSM everywhere), or ``seaice`` (Semtner slab everywhere).
+    """
+
+    type: str = "none"
+    lsm: Optional[dict] = None      #: LSMConfig field overrides
+    seaice: Optional[dict] = None   #: SeaIceConfig field overrides
+    t_init: float = 288.0           #: initial skin/soil temperature [K]
+    smc_init: float = 0.25          #: initial soil moisture [m^3/m^3]
+    h_ice_init: float = 1.0         #: initial ice thickness [m]
+    #: downward radiation used when gray_radiation is NOT in the scheme list:
+    sw_dn: float = 340.0            #: [W/m^2]
+    lw_dn: float = 330.0            #: [W/m^2]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SurfaceState:
+    """Carried surface state: exactly one of ``lsm``/``ice`` is populated
+    (which one is static per Physics instance). ``precip`` is the previous
+    step's surface precipitation rate [kg/m^2/s]."""
+
+    precip: jnp.ndarray
+    lsm: Optional[object] = None
+    ice: Optional[object] = None
+
+
+def build_surface(cfg: SurfaceConfig):
+    """Resolve (scheme_config, init_fn, step_fn) for the configured type;
+    returns None for type 'none'."""
+    if cfg.type == "none":
+        return None
+    if cfg.type == "land":
+        from ...utils.registry import from_dict
+        from .lsm import LSMConfig, LSMState, lsm_step
+
+        scheme_cfg = from_dict(LSMConfig, cfg.lsm or {})
+
+        def init(shape, dtype):
+            return SurfaceState(
+                precip=jnp.zeros(shape, dtype=dtype),
+                lsm=LSMState.init(
+                    shape, t0=cfg.t_init, smc0=cfg.smc_init, dtype=dtype
+                ),
+            )
+
+        def step(forcing, sfc: SurfaceState, dt):
+            fluxes, new = lsm_step(
+                **forcing, state=sfc.lsm, dt=dt, cfg=scheme_cfg
+            )
+            return fluxes, dataclasses.replace(sfc, lsm=new)
+
+        def tskin(sfc: SurfaceState):
+            return sfc.lsm.tskin
+
+        return scheme_cfg, init, step, tskin
+    if cfg.type == "seaice":
+        from ...utils.registry import from_dict
+        from .seaice import SeaIceConfig, SeaIceState, seaice_step
+
+        scheme_cfg = from_dict(SeaIceConfig, cfg.seaice or {})
+
+        def init(shape, dtype):
+            return SurfaceState(
+                precip=jnp.zeros(shape, dtype=dtype),
+                ice=SeaIceState.init(
+                    shape, h0=cfg.h_ice_init, t0=cfg.t_init, dtype=dtype
+                ),
+            )
+
+        def step(forcing, sfc: SurfaceState, dt):
+            fluxes, new = seaice_step(
+                **forcing, state=sfc.ice, dt=dt, cfg=scheme_cfg
+            )
+            return fluxes, dataclasses.replace(sfc, ice=new)
+
+        def tskin(sfc: SurfaceState):
+            return sfc.ice.tsfc
+
+        return scheme_cfg, init, step, tskin
+    raise ValueError(
+        f"unknown surface type {cfg.type!r}; expected none|land|seaice"
+    )

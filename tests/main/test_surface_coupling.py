@@ -1,0 +1,103 @@
+"""Interactive lower boundary (surface.py): the LSM / sea-ice schemes coupled
+through the Physics driver — surface state carries across steps, radiation
+sees the interactive skin temperature, surface fluxes drive PBL/convection."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from pace_tpu.grid.generation import GridSpec, MetricTerms
+from pace_tpu.grid.grid_data import GridData
+from pace_tpu.models.fv3.state import DycoreState, TRACER_NAMES
+from pace_tpu.models.shield.physics import Physics
+from pace_tpu.models.shield.surface import SurfaceConfig
+
+
+def _setup(qv0=6e-3):
+    spec = GridSpec(n_tile=12, npz=8, layout=(1, 1))
+    mt = MetricTerms.generate(spec)
+    state = DycoreState.from_baroclinic_init(mt, dtype=jnp.float64)
+    q = np.asarray(state.q).copy()
+    q[:, TRACER_NAMES.index("qvapor")] = qv0
+    state = dataclasses.replace(state, q=jnp.asarray(q))
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float64)
+    return state, grid
+
+
+def test_land_surface_full_loop():
+    """radiation + land surface + EDMF PBL + shallow convection +
+    microphysics, two steps: state stays physical, surface state evolves,
+    precip carry threads through."""
+    state, grid = _setup()
+    phys = Physics(
+        grid,
+        ("gray_radiation", "GFS_PBL", "GFS_shallow_convection",
+         "GFS_microphysics"),
+        timestep=600.0,
+        surface_config=SurfaceConfig(type="land", t_init=290.0),
+    )
+    assert phys.surface_state is None
+    s1 = phys(state)
+    sfc1 = phys.surface_state
+    assert sfc1 is not None and sfc1.lsm is not None
+    s2 = phys(s1)
+    sfc2 = phys.surface_state
+    # the surface is evolving (radiation-driven energy balance)
+    assert float(jnp.max(jnp.abs(sfc2.lsm.tskin - sfc1.lsm.tskin))) > 0.0
+    # physical atmosphere (compute domain: physics runs everywhere but the
+    # dycore state's interior is what matters)
+    for out in (s1, s2):
+        assert not bool(jnp.isnan(out.pt).any())
+        assert float(out.q.min()) > -1e-12
+    # skin temperatures stay physical
+    assert float(sfc2.lsm.tskin.min()) > 200.0
+    assert float(sfc2.lsm.tskin.max()) < 350.0
+    # precip carry has the right shape and sign
+    assert sfc2.precip.shape == state.ps.shape
+    assert float(sfc2.precip.min()) >= 0.0
+
+
+def test_seaice_surface_full_loop():
+    state, grid = _setup(qv0=2e-3)
+    phys = Physics(
+        grid, ("gray_radiation", "GFS_PBL", "GFS_microphysics"),
+        timestep=600.0,
+        surface_config=SurfaceConfig(type="seaice", t_init=265.0,
+                                     h_ice_init=1.0),
+    )
+    s1 = phys(state)
+    s2 = phys(s1)
+    sfc = phys.surface_state
+    assert sfc.ice is not None
+    assert not bool(jnp.isnan(s2.pt).any())
+    assert float(sfc.ice.h_ice.min()) >= 0.0
+    assert float(sfc.ice.tsfc.max()) <= 273.16 + 1e-6
+
+
+def test_surface_none_unchanged_behavior():
+    """type 'none' (default) reproduces the uncoupled physics exactly."""
+    state, grid = _setup()
+    schemes = ("gray_radiation", "GFS_PBL", "GFS_microphysics")
+    p_default = Physics(grid, schemes, timestep=600.0)
+    p_none = Physics(grid, schemes, timestep=600.0,
+                     surface_config=SurfaceConfig(type="none"))
+    out_a = p_default(state)
+    out_b = p_none(state)
+    np.testing.assert_array_equal(np.asarray(out_a.pt), np.asarray(out_b.pt))
+    assert p_none.surface_state is None
+
+
+def test_interactive_skin_feeds_radiation():
+    """A hot land surface must radiate more LW up into the column than a cold
+    one: lowest-layer heating differs between the two."""
+    state, grid = _setup()
+    schemes = ("gray_radiation", "GFS_microphysics")
+    p_hot = Physics(grid, schemes, timestep=600.0,
+                    surface_config=SurfaceConfig(type="land", t_init=310.0))
+    p_cold = Physics(grid, schemes, timestep=600.0,
+                     surface_config=SurfaceConfig(type="land", t_init=260.0))
+    out_hot = p_hot(state)
+    out_cold = p_cold(state)
+    d = np.asarray(out_hot.pt - out_cold.pt)
+    assert np.nanmax(np.abs(d)) > 0.0
