@@ -19,7 +19,10 @@ from ..models.fv3.dycore import DynamicalCore
 from ..utils.logging import get_logger
 from .config import DriverConfig
 from .performance import Timer
-from .restart import save_restart
+from .restart import (
+    has_surface_restart, load_surface_restart, save_restart,
+    save_surface_restart,
+)
 from .safety_checks import SafetyChecker
 
 logger = get_logger()
@@ -136,6 +139,7 @@ class Driver:
                 ),
                 surface_config=from_dict(SurfaceConfig, pc.surface or {}),
             )
+            self._maybe_load_surface()
 
         self.diagnostics = config.diagnostics_config.diagnostics_factory(
             self.metric_terms, self.metric_terms.spec.n_halo
@@ -280,7 +284,27 @@ class Driver:
                 cfg.restart_config.path, f"step_{self._step_count}"
             )
             save_restart(path, self.state, self.time_seconds)
+            self._save_surface(path)
             cfg.write_for_restart(path, self.time_seconds)
+
+    def _save_surface(self, path):
+        if self.physics is not None and self.physics.surface_state is not None:
+            save_surface_restart(path, self.physics.surface_state)
+
+    def _maybe_load_surface(self):
+        """Restore the interactive-surface state on restart initialization
+        (bit-exact coupled resume)."""
+        init = self.config.initialization
+        if init.type not in ("restart", "fortran_restart"):
+            return
+        if self.physics is None or self.physics._surface is None:
+            return
+        path = (init.config or {}).get("path", "RESTART")
+        if not has_surface_restart(path):
+            return
+        _, make_init, _, _ = self.physics._surface
+        template = make_init(self.state.ps.shape, self.state.ps.dtype)
+        self.physics.surface_state = load_surface_restart(path, template)
 
     def cleanup(self):
         """Reference cleanup analog (driver.py:688-713)."""
@@ -288,6 +312,7 @@ class Driver:
         if cfg.restart_config.save_restart:
             os.makedirs(cfg.restart_config.path, exist_ok=True)
             save_restart(cfg.restart_config.path, self.state, self.time_seconds)
+            self._save_surface(cfg.restart_config.path)
             cfg.write_for_restart(cfg.restart_config.path, self.time_seconds)
         self.diagnostics.cleanup()
         if cfg.performance_config.collect_performance:

@@ -69,3 +69,51 @@ def restart_time(path: str) -> float:
 
     with h5py.File(os.path.join(path, "restart_dycore_state.h5"), "r") as f:
         return float(f.attrs.get("time_seconds", 0.0))
+
+
+_SURFACE_FILE = "restart_surface_state.h5"
+
+
+def save_surface_restart(path: str, surface_state) -> None:
+    """Persist the interactive-surface pytree (physics surface coupling,
+    models/shield/surface.py) next to the dycore restart — one dataset per
+    leaf, keyed by its pytree path, so resume is bit-exact for coupled runs
+    (the reference saves its PhysicsState the same per-rank-file way,
+    driver/pace/driver/state.py:114-126)."""
+    import h5py
+    import jax
+
+    from ..utils import filesystem
+
+    filesystem.get_fs(path).makedirs(path, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves_with_path(surface_state)
+    with h5py.File(os.path.join(path, _SURFACE_FILE), "w") as f:
+        for keypath, leaf in leaves:
+            f.create_dataset(
+                jax.tree_util.keystr(keypath), data=np.asarray(leaf),
+                dtype="f8",
+            )
+
+
+def has_surface_restart(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _SURFACE_FILE))
+
+
+def load_surface_restart(path: str, template):
+    """Fill ``template`` (a freshly-initialized SurfaceState with the right
+    structure/shapes) with the saved leaves."""
+    import h5py
+    import jax
+
+    with h5py.File(os.path.join(path, _SURFACE_FILE), "r") as f:
+
+        def repl(keypath, leaf):
+            name = jax.tree_util.keystr(keypath)
+            if name not in f:
+                raise KeyError(
+                    f"surface restart missing dataset {name!r} "
+                    f"(available: {list(f)})"
+                )
+            return jnp.asarray(np.asarray(f[name]), dtype=leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(repl, template)

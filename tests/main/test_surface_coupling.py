@@ -101,3 +101,85 @@ def test_interactive_skin_feeds_radiation():
     out_cold = p_cold(state)
     d = np.asarray(out_hot.pt - out_cold.pt)
     assert np.nanmax(np.abs(d)) > 0.0
+
+
+def test_surface_restart_round_trip(tmp_path):
+    """Coupled-surface restart is bit-exact: save after a step, reload into a
+    fresh template, identical leaves."""
+    import jax
+
+    from pace_tpu.driver.restart import (
+        has_surface_restart, load_surface_restart, save_surface_restart,
+    )
+
+    state, grid = _setup()
+    phys = Physics(
+        grid, ("gray_radiation", "GFS_PBL", "GFS_microphysics"),
+        timestep=600.0,
+        surface_config=SurfaceConfig(type="land", t_init=290.0),
+    )
+    phys(state)
+    saved = phys.surface_state
+    path = str(tmp_path / "RESTART")
+    save_surface_restart(path, saved)
+    assert has_surface_restart(path)
+    _, make_init, _, _ = phys._surface
+    template = make_init(state.ps.shape, state.ps.dtype)
+    loaded = load_surface_restart(path, template)
+    for (kp_a, a), (kp_b, b) in zip(
+        jax.tree_util.tree_leaves_with_path(saved),
+        jax.tree_util.tree_leaves_with_path(loaded),
+    ):
+        assert jax.tree_util.keystr(kp_a) == jax.tree_util.keystr(kp_b)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_driver_level_surface_restart(tmp_path):
+    """Driver with a coupled land surface writes restart_surface_state.h5 and
+    a restarted Driver resumes with the saved surface state (not a fresh
+    init)."""
+    import os
+
+    import jax
+    from pace_tpu.driver.config import DriverConfig
+    from pace_tpu.driver.driver import Driver
+
+    base = {
+        "nx_tile": 12,
+        "nz": 8,
+        "layout": [1, 1],
+        "dt_atmos": 300.0,
+        "minutes": 10,
+        "dycore_config": {"k_split": 1, "n_split": 2, "hydrostatic": True},
+        "physics_config": {
+            "schemes": ["gray_radiation", "GFS_PBL", "GFS_microphysics"],
+            "surface": {"type": "land", "t_init": 290.0},
+        },
+        "diagnostics_config": {
+            "path": str(tmp_path / "out"),
+            "output_frequency": 10,
+            "names": ["ps"],
+        },
+        "performance_config": {"experiment_name": str(tmp_path / "exp")},
+        "restart_config": {"save_restart": True,
+                           "path": str(tmp_path / "RESTART")},
+    }
+    cfg = DriverConfig.from_dict(base)
+    driver = Driver(cfg)
+    driver.step_all()
+    driver.cleanup()
+    assert os.path.exists(tmp_path / "RESTART" / "restart_surface_state.h5")
+    saved = driver.physics.surface_state
+
+    resume_cfg = DriverConfig.from_dict(
+        {**base,
+         "initialization": {"type": "restart",
+                            "config": {"path": str(tmp_path / "RESTART")}}}
+    )
+    resumed = Driver(resume_cfg)
+    assert resumed.physics.surface_state is not None
+    for (kp_a, a), (kp_b, b) in zip(
+        jax.tree_util.tree_leaves_with_path(saved),
+        jax.tree_util.tree_leaves_with_path(resumed.physics.surface_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
