@@ -30,12 +30,19 @@ class SurfaceConfig:
 
     ``type``: ``none`` (prescribed constant fluxes from the PBL/SAS configs —
     the default, matching the reference's uncoupled physics), ``land``
-    (NOAH-style LSM everywhere), or ``seaice`` (Semtner slab everywhere).
+    (NOAH-style LSM everywhere), ``seaice`` (Semtner slab everywhere), or
+    ``mixed`` (land equatorward of ``land_lat_max``, sea ice/ocean poleward —
+    both schemes run dense on every column and the fluxes blend by the static
+    mask, the SPMD-friendly formulation).
     """
 
     type: str = "none"
     lsm: Optional[dict] = None      #: LSMConfig field overrides
     seaice: Optional[dict] = None   #: SeaIceConfig field overrides
+    #: for type "mixed": land where |lat| <= land_lat_max [deg], sea
+    #: ice/ocean poleward of it (an analytic earthlike mask — no external
+    #: land-sea dataset in this environment)
+    land_lat_max: float = 55.0
     t_init: float = 288.0           #: initial skin/soil temperature [K]
     smc_init: float = 0.25          #: initial soil moisture [m^3/m^3]
     h_ice_init: float = 1.0         #: initial ice thickness [m]
@@ -56,11 +63,14 @@ class SurfaceState:
     ice: Optional[object] = None
 
 
-def build_surface(cfg: SurfaceConfig):
-    """Resolve (scheme_config, init_fn, step_fn) for the configured type;
-    returns None for type 'none'."""
+def build_surface(cfg: SurfaceConfig, grid=None):
+    """Resolve (scheme_config, init_fn, step_fn, tskin_fn) for the configured
+    type; returns None for type 'none'. ``grid`` supplies the latitude (via
+    the Coriolis parameter) for the 'mixed' land mask."""
     if cfg.type == "none":
         return None
+    if cfg.type == "mixed":
+        return _build_mixed(cfg, grid)
     if cfg.type == "land":
         from ...utils.registry import from_dict
         from .lsm import LSMConfig, LSMState, lsm_step
@@ -110,5 +120,54 @@ def build_surface(cfg: SurfaceConfig):
 
         return scheme_cfg, init, step, tskin
     raise ValueError(
-        f"unknown surface type {cfg.type!r}; expected none|land|seaice"
+        f"unknown surface type {cfg.type!r}; expected none|land|seaice|mixed"
     )
+
+
+def _build_mixed(cfg: SurfaceConfig, grid):
+    """Earthlike blend: LSM on the land mask, Semtner ice/ocean elsewhere.
+    Both schemes run on every column (one SPMD program, no per-point
+    branches); fluxes and the radiative skin blend by the static mask."""
+    import numpy as np
+
+    from ... import constants
+    from ...utils.registry import from_dict
+    from .lsm import LSMConfig, LSMState, lsm_step
+    from .seaice import SeaIceConfig, SeaIceState, seaice_step
+
+    if grid is None:
+        raise ValueError("surface type 'mixed' needs the grid (latitude mask)")
+    lsm_cfg = from_dict(LSMConfig, cfg.lsm or {})
+    ice_cfg = from_dict(SeaIceConfig, cfg.seaice or {})
+    sinlat = jnp.clip(grid.f0 / (2.0 * constants.OMEGA), -1.0, 1.0)
+    land_mask = jnp.abs(sinlat) <= float(np.sin(np.radians(cfg.land_lat_max)))
+
+    def init(shape, dtype):
+        return SurfaceState(
+            precip=jnp.zeros(shape, dtype=dtype),
+            lsm=LSMState.init(
+                shape, t0=cfg.t_init, smc0=cfg.smc_init, dtype=dtype
+            ),
+            ice=SeaIceState.init(
+                shape, h0=cfg.h_ice_init,
+                t0=min(cfg.t_init, 271.0), dtype=dtype,
+            ),
+        )
+
+    def step(forcing, sfc: SurfaceState, dt):
+        fx_l, lsm_new = lsm_step(**forcing, state=sfc.lsm, dt=dt, cfg=lsm_cfg)
+        fx_i, ice_new = seaice_step(
+            **forcing, state=sfc.ice, dt=dt, cfg=ice_cfg
+        )
+        mask = jnp.broadcast_to(land_mask, sfc.lsm.tskin.shape)
+        fluxes = {
+            k: jnp.where(mask, fx_l[k], fx_i[k])
+            for k in fx_l if k in fx_i
+        }
+        return fluxes, dataclasses.replace(sfc, lsm=lsm_new, ice=ice_new)
+
+    def tskin(sfc: SurfaceState):
+        mask = jnp.broadcast_to(land_mask, sfc.lsm.tskin.shape)
+        return jnp.where(mask, sfc.lsm.tskin, sfc.ice.tsfc)
+
+    return (lsm_cfg, ice_cfg), init, step, tskin

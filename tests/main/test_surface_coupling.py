@@ -183,3 +183,31 @@ def test_driver_level_surface_restart(tmp_path):
         jax.tree_util.tree_leaves_with_path(resumed.physics.surface_state),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mixed_surface_blends_by_latitude():
+    """Earthlike mixed surface: LSM skin on the land band, sea-ice skin
+    poleward; the coupled loop runs and blends fluxes by the static mask."""
+    import pace_tpu.constants as constants
+    from pace_tpu.models.shield.surface import build_surface
+
+    state, grid = _setup()
+    phys = Physics(
+        grid, ("gray_radiation", "GFS_PBL", "GFS_microphysics"),
+        timestep=600.0,
+        surface_config=SurfaceConfig(type="mixed", t_init=290.0,
+                                     land_lat_max=45.0),
+    )
+    s1 = phys(state)
+    sfc = phys.surface_state
+    assert sfc.lsm is not None and sfc.ice is not None
+    assert not bool(jnp.isnan(s1.pt).any())
+    # the radiative skin follows the mask: polar points = ice temperature
+    _, _, _, tskin = phys._surface
+    ts = np.asarray(tskin(sfc))
+    sinlat = np.clip(np.asarray(grid.f0) / (2 * constants.OMEGA), -1, 1)
+    polar = np.abs(sinlat) > np.sin(np.radians(60.0))
+    tropic = np.abs(sinlat) < np.sin(np.radians(20.0))
+    # ice skin is capped at melting; land tropics run warm
+    assert ts[polar].max() <= 273.16 + 1e-6
+    assert ts[tropic].mean() > ts[polar].mean()
