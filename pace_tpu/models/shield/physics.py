@@ -334,7 +334,7 @@ class Physics:
             pt_new, lw_dn_sfc = gray_radiation_step_fluxes(
                 state.pt, state.pkz, state.pe, state.ps,
                 sinlat * sinlat, self.timestep, self.radiation_config,
-                t_surf=t_surf,
+                t_surf=t_surf, qv=state.q[:, _IQ["qvapor"]],
             )
             sw_dn_sfc = jnp.broadcast_to(
                 sw_down_surface(sinlat * sinlat, self.radiation_config),

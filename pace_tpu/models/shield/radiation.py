@@ -39,6 +39,12 @@ class GrayRadiationConfig:
     albedo: float = 0.31
     del_sol: float = 1.4     #: P2(lat) shortwave contrast parameter
     t_surf: float = 288.0    #: prescribed surface temperature [K] (no slab)
+    #: --- interactive water vapor (Byrne & O'Gorman 2013 extension of the
+    #: gray scheme): tau built from the simulated humidity instead of the
+    #: prescribed latitude profile — the water-vapor LW feedback
+    interactive_vapor: bool = False
+    kappa_v: float = 0.17    #: vapor LW absorption [m^2/kg]
+    kappa_d: float = 1.5e-4  #: dry-air LW absorption [m^2/kg] (tau_dry ~1.5)
 
 
 def optical_depth(p_if, ps, sinlat2, cfg: GrayRadiationConfig):
@@ -46,6 +52,17 @@ def optical_depth(p_if, ps, sinlat2, cfg: GrayRadiationConfig):
     tau0 = cfg.tau0_eq + (cfg.tau0_pole - cfg.tau0_eq) * sinlat2
     s = p_if / ps[..., None, :, :]
     return tau0[..., None, :, :] * (cfg.f_l * s + (1.0 - cfg.f_l) * s**4)
+
+
+def optical_depth_interactive(qv, delp, cfg: GrayRadiationConfig):
+    """tau at interfaces from the simulated humidity: d tau = (kappa_v*qv +
+    kappa_d) dp/g (Byrne & O'Gorman 2013) — LW opacity responds to the model's
+    own moisture field."""
+    dtau = (cfg.kappa_v * qv + cfg.kappa_d) * delp / constants.GRAV
+    zero = jnp.zeros_like(dtau[..., :1, :, :])
+    return jnp.concatenate(
+        [zero, jnp.cumsum(dtau, axis=-3)], axis=-3
+    )
 
 
 def lw_fluxes(t_lay, tau_if, t_surf):
@@ -109,7 +126,8 @@ def sw_down_surface(sinlat2, cfg: GrayRadiationConfig):
 
 
 def gray_radiation_step_fluxes(pt, pkz, pe, ps, sinlat2, dt: float,
-                               cfg: GrayRadiationConfig, t_surf=None):
+                               cfg: GrayRadiationConfig, t_surf=None,
+                               qv=None):
     """One radiation step on dycore fields: returns (updated pt, LW down at
     the surface [W/m^2]).
 
@@ -117,9 +135,15 @@ def gray_radiation_step_fluxes(pt, pkz, pe, ps, sinlat2, dt: float,
     exact layer propagators; applied explicitly (radiative time scales are
     days, vs dt of minutes). ``t_surf`` (scalar or (.., Y, X) array) overrides
     the prescribed surface temperature — the interactive-surface coupling.
+    With ``interactive_vapor`` and a ``qv`` field, the optical depth comes
+    from the simulated humidity instead of the prescribed latitude profile.
     """
     t_lay = pt * pkz  # dry: T = pt * pkz
-    tau = optical_depth(pe, ps, sinlat2, cfg)
+    if cfg.interactive_vapor and qv is not None:
+        delp = pe[..., 1:, :, :] - pe[..., :-1, :, :]
+        tau = optical_depth_interactive(qv, delp, cfg)
+    else:
+        tau = optical_depth(pe, ps, sinlat2, cfg)
     if t_surf is None:
         t_surf = cfg.t_surf
     up, down = lw_fluxes(t_lay, tau, t_surf)

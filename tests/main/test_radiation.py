@@ -116,3 +116,47 @@ def test_physics_integration():
     pt = np.asarray(out.pt)[:, :, 3:-3, 3:-3]
     assert np.isfinite(pt).all()
     assert not np.array_equal(pt, np.asarray(state.pt)[:, :, 3:-3, 3:-3])
+
+
+def test_interactive_vapor_optical_depth():
+    """Byrne-O'Gorman interactive tau: moist columns are more LW-opaque, so
+    more LW reaches the surface from a warm moist atmosphere; tau is monotone
+    in k and increases with humidity."""
+    import dataclasses as _dc
+
+    from pace_tpu.models.shield.radiation import (
+        GrayRadiationConfig, gray_radiation_step_fluxes,
+        optical_depth_interactive,
+    )
+
+    K, Y, X = 20, 2, 3
+    ps = 1.0e5
+    pe = jnp.broadcast_to(
+        jnp.linspace(2000.0, ps, K + 1)[:, None, None], (K + 1, Y, X)
+    )
+    p_mid = 0.5 * (pe[1:] + pe[:-1])
+    delp = pe[1:] - pe[:-1]
+    t = 300.0 * (p_mid / ps) ** 0.22
+    pkz = (p_mid / 1.0e5) ** (2.0 / 7.0)
+    pt = t / pkz
+    qv_moist = 0.018 * (p_mid / ps) ** 3
+    qv_dry = 0.1 * qv_moist
+    cfg = GrayRadiationConfig(interactive_vapor=True)
+
+    tau_m = optical_depth_interactive(qv_moist, delp, cfg)
+    tau_d = optical_depth_interactive(qv_dry, delp, cfg)
+    assert float(jnp.min(jnp.diff(tau_m, axis=0))) > 0.0  # monotone down
+    assert float(tau_m[-1].min()) > float(tau_d[-1].max())  # moist opaque
+
+    _, lw_moist = gray_radiation_step_fluxes(
+        pt, pkz, pe, pe[-1], jnp.zeros((Y, X)), 600.0, cfg, qv=qv_moist
+    )
+    _, lw_dry = gray_radiation_step_fluxes(
+        pt, pkz, pe, pe[-1], jnp.zeros((Y, X)), 600.0, cfg, qv=qv_dry
+    )
+    assert float(lw_moist.min()) > float(lw_dry.max())
+    # without qv the scheme must fall back to the prescribed profile
+    pt2, lw2 = gray_radiation_step_fluxes(
+        pt, pkz, pe, pe[-1], jnp.zeros((Y, X)), 600.0, cfg
+    )
+    assert bool(jnp.isfinite(pt2).all())
