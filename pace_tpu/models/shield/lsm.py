@@ -38,7 +38,9 @@ import jax
 import jax.numpy as jnp
 
 from ... import constants
-from .microphysics import saturation_mixing_ratio
+from .microphysics import (
+    d_saturation_mixing_ratio_dt, saturation_mixing_ratio,
+)
 from .radiation import SIGMA_SB
 
 #: NOAH standard soil-layer thicknesses [m], top first
@@ -130,14 +132,23 @@ def lsm_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
     ch = (cfg.karman / jnp.log(jnp.maximum(z1 / cfg.z0, 1.1))) ** 2 * wind
 
     # snow modifies albedo; deep snow asymptote
+    has_snow = state.sneqv > 0.0
     snow_frac = jnp.clip(state.sneqv / cfg.snow_albedo_swe, 0.0, 1.0)
     albedo = cfg.albedo + snow_frac * (cfg.albedo_snow - cfg.albedo)
     sw_abs = (1.0 - albedo) * sw_dn
 
-    # soil-moisture stress for evaporation (NOAH beta formulation)
-    beta = jnp.clip(
-        (state.smc[..., 0, :, :] - cfg.smcwlt) / (cfg.smcref - cfg.smcwlt),
-        0.0, 1.0,
+    # snow cover: the latent flux is SUBLIMATION (lv + lf) from the snowpack,
+    # unlimited by soil moisture; bare soil evaporates (lv) with the NOAH
+    # beta moisture stress
+    lheat = jnp.where(has_snow, lv + constants.HLF, lv)
+    beta = jnp.where(
+        has_snow,
+        1.0,
+        jnp.clip(
+            (state.smc[..., 0, :, :] - cfg.smcwlt)
+            / (cfg.smcref - cfg.smcwlt),
+            0.0, 1.0,
+        ),
     )
 
     # --- surface energy balance: Newton solve for tskin
@@ -148,7 +159,7 @@ def lsm_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
     def balance(ts):
         qs = saturation_mixing_ratio(ts, p_sfc)
         h = rho * cp * ch * (ts - t1)
-        le = rho * lv * ch * beta * jnp.maximum(qs - qv1, 0.0)
+        le = rho * lheat * ch * beta * jnp.maximum(qs - qv1, 0.0)
         gflux = cond * (ts - stc1)
         rad = sw_abs + emis * lw_dn - emis * SIGMA_SB * ts**4
         return rad - h - le - gflux
@@ -156,20 +167,17 @@ def lsm_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
     ts = state.tskin
     for _ in range(cfg.newton_iters):
         qs = saturation_mixing_ratio(ts, p_sfc)
-        dqsdt = qs * 17.502 * 240.97 / (
-            jnp.clip(ts - constants.TICE, -80.0, 50.0) + 240.97
-        ) ** 2
+        dqsdt = d_saturation_mixing_ratio_dt(ts, p_sfc, qs)
         evaporating = (qs - qv1) > 0.0
         dfdt = (
             -4.0 * emis * SIGMA_SB * ts**3
             - rho * cp * ch
-            - jnp.where(evaporating, rho * lv * ch * beta * dqsdt, 0.0)
+            - jnp.where(evaporating, rho * lheat * ch * beta * dqsdt, 0.0)
             - cond
         )
         ts = ts - balance(ts) / dfdt
     # snow cap: with snow on the ground the skin cannot exceed freezing;
     # the surplus energy melts snow instead
-    has_snow = state.sneqv > 0.0
     ts_capped = jnp.where(has_snow, jnp.minimum(ts, constants.TICE), ts)
     melt_energy = jnp.where(
         has_snow & (ts > constants.TICE),
@@ -184,7 +192,7 @@ def lsm_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
     qs = saturation_mixing_ratio(ts, p_sfc)
     shf = rho * cp * ch * (ts - t1)
     evap = rho * ch * beta * jnp.maximum(qs - qv1, 0.0)  # [kg/m^2/s]
-    lhf = lv * evap
+    lhf = lheat * evap
     gflux = cond * (ts - stc1)
     rnet = sw_abs + emis * lw_dn - emis * SIGMA_SB * ts**4
 
@@ -232,13 +240,16 @@ def lsm_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
         if k < n - 1:
             net = net - flux_if[k]
         if k == 0:
-            net = net + infil - evap / 1000.0
+            net = net + infil - jnp.where(has_snow, 0.0, evap) / 1000.0
         dsmc.append(net * dt / dzs[k])
     smc_new = smc + jnp.stack(dsmc, axis=-3)
     # runoff: clamp to [smcdry, smcmax] (excess leaves the column)
     smc_new = jnp.clip(smc_new, cfg.smcdry, cfg.smcmax)
 
-    sneqv_new = jnp.maximum(state.sneqv + dt * snowfall / 1000.0 - melt, 0.0)
+    sublim = jnp.where(has_snow, evap, 0.0) * dt / 1000.0  # [m] w.e.
+    sneqv_new = jnp.maximum(
+        state.sneqv + dt * snowfall / 1000.0 - melt - sublim, 0.0
+    )
 
     new_state = LSMState(tskin=ts, stc=stc_new, smc=smc_new, sneqv=sneqv_new)
     fluxes = {

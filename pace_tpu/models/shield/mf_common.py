@@ -18,6 +18,26 @@ import jax.numpy as jnp
 from ... import constants
 
 
+def hydrostatic_heights(tv, pe):
+    """Heights above the surface from hydrostatic integration of log-p.
+
+    Args: virtual temperature ``tv`` (.., K, Y, X) — caller chooses whether
+    condensate loading is included — and interface pressure ``pe``
+    (.., K+1, Y, X). Returns (z_mid, z_if, dz), all in meters, dz > 0.
+    """
+    kax = -3
+    peln = jnp.log(pe)
+    dz = constants.RDGAS * tv / constants.GRAV * (
+        peln[..., 1:, :, :] - peln[..., :-1, :, :]
+    )
+    z_top_if = jnp.flip(jnp.cumsum(jnp.flip(dz, axis=kax), axis=kax), axis=kax)
+    z_if = jnp.concatenate(
+        [z_top_if, jnp.zeros_like(z_top_if[..., :1, :, :])], axis=kax
+    )
+    z_mid = 0.5 * (z_if[..., :-1, :, :] + z_if[..., 1:, :, :])
+    return z_mid, z_if, dz
+
+
 def flux_form_divergence(m_if, x_u, x_env, delp):
     """Tendency g * d/dp [ M (x_u - x_env) ] per layer.
 

@@ -63,6 +63,16 @@ def saturation_mixing_ratio(t, p):
     return eps * es / jnp.maximum(p - es, 1.0)
 
 
+def d_saturation_mixing_ratio_dt(t, p, qsat=None):
+    """Clausius-Clapeyron derivative d(qsat)/dT of the Flatau fit above —
+    the one linearization every Newton solve in the physics layer uses
+    (microphysics, LSM, sea ice, SAS plume)."""
+    if qsat is None:
+        qsat = saturation_mixing_ratio(t, p)
+    tc = jnp.clip(t - T_FREEZE, -80.0, 50.0)
+    return qsat * 17.502 * 240.97 / (tc + 240.97) ** 2
+
+
 def microphysics_step(qv, ql, qi, qr, qs, qg, t, p, delp, dt, config=None):
     """One microphysics step on layer arrays (.., K, Y, X).
 
@@ -79,7 +89,7 @@ def microphysics_step(qv, ql, qi, qr, qs, qg, t, p, delp, dt, config=None):
     # --- saturation adjustment: relax qv toward qs with latent heating,
     # linearized in temperature (one Newton iteration)
     qsat = saturation_mixing_ratio(t, p)
-    dqsdt = qsat * 17.502 * 240.97 / (jnp.clip(t - T_FREEZE, -80.0, 50.0) + 240.97) ** 2
+    dqsdt = d_saturation_mixing_ratio_dt(t, p, qsat)
     excess = (qv - qsat) / (1.0 + (lv / cp) * dqsdt)
     cond = jnp.maximum(excess, -ql)  # cannot evaporate more than ql
     qv = qv - cond

@@ -260,19 +260,10 @@ def pbl_step(ua, va, t, qv, pe, p_mid, delp, z_sfc, dt: float, cfg: PBLConfig,
     lhf = cfg.latent_heat_flux if latent_heat_flux is None \
         else latent_heat_flux
     # virtual temperature / heights (hydrostatic integration of peln)
+    from .mf_common import hydrostatic_heights
+
     tv = t * (1.0 + constants.ZVIR * qv)
-    peln = jnp.log(pe)
-    dz = constants.RDGAS * tv / constants.GRAV * (
-        peln[..., 1:, :, :] - peln[..., :-1, :, :]
-    )  # (S, K, Y, X) layer thickness, >0
-    # interface heights above the surface, top (k=0) .. bottom (k=K)
-    z_if_rel = jnp.flip(
-        jnp.cumsum(jnp.flip(dz, axis=-3), axis=-3), axis=-3
-    )  # height of each layer's TOP interface
-    z_if = jnp.concatenate(
-        [z_if_rel, jnp.zeros_like(z_if_rel[..., :1, :, :])], axis=-3
-    )
-    z_mid = 0.5 * (z_if[..., :-1, :, :] + z_if[..., 1:, :, :])
+    z_mid, z_if, dz = hydrostatic_heights(tv, pe)
 
     thv = tv * (constants.P_REF / p_mid) ** constants.KAPPA
     k_m, ustar, cd, spd1, h = _diffusivities(ua, va, thv, z_mid, z_if, cfg)

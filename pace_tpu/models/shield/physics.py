@@ -196,7 +196,7 @@ class Physics:
         if surface_config is None:
             surface_config = SurfaceConfig()
         self.surface_config = surface_config
-        self._surface = build_surface(surface_config, grid=grid)
+        self._surface = build_surface(surface_config, grid=lambda: self.grid)
         self.surface_state = None
         self._call = jax.jit(self._call_impl)
 

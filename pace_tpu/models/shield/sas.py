@@ -29,9 +29,11 @@ Scheme outline (Han & Pan 2011 ingredients, simplified):
    ``src_depth_frac`` of the column by pressure;
 2. entraining updraft (fractional entrainment ``entrain`` [1/m]) marched
    upward; plume T/qv/ql diagnosed by a 2-iteration Newton saturation solve;
-3. cloud base = first saturated plume level, cloud top = level below the
-   first saturated-but-negatively-buoyant level; the plume dies if it stays
-   unsaturated more than ``max_subcloud_m`` above its source;
+3. cloud base = first saturated plume level; negative-buoyancy work up to
+   ``max_cin`` is tolerated while the cloud establishes (CIN); once a buoyant
+   saturated level exists, the first non-buoyant level is the cloud top (kept
+   as the overshoot layer); the plume dies if it stays unsaturated more than
+   ``max_subcloud_m`` above its source;
 4. shallow-only gate: cloud depth must not exceed ``max_depth_pa``;
 5. cloud-base mass flux from the Grant (2001) closure Mb = c_m * rho * w*
    (convective velocity scale from the prescribed kinematic surface buoyancy
@@ -51,8 +53,10 @@ import jax
 import jax.numpy as jnp
 
 from ... import constants
-from .mf_common import flux_form_divergence
-from .microphysics import saturation_mixing_ratio
+from .mf_common import flux_form_divergence, hydrostatic_heights
+from .microphysics import (
+    d_saturation_mixing_ratio_dt, saturation_mixing_ratio,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,9 +91,7 @@ def _newton_plume_tq(h_u, qt_u, z, p, t_guess):
         qs = saturation_mixing_ratio(t, p)
         qv = jnp.minimum(qt_u, qs)
         sat = qt_u >= qs
-        dqsdt = qs * 17.502 * 240.97 / (
-            jnp.clip(t - constants.TICE, -80.0, 50.0) + 240.97
-        ) ** 2
+        dqsdt = d_saturation_mixing_ratio_dt(t, p, qs)
         resid = h_u - (cp * t + g * z + lv * qv)
         denom = cp + jnp.where(sat, lv * dqsdt, 0.0)
         t = t + resid / denom
@@ -113,15 +115,9 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
     shf = cfg.sensible_heat_flux if sensible_heat_flux is None else sensible_heat_flux
     lhf = cfg.latent_heat_flux if latent_heat_flux is None else latent_heat_flux
 
-    # -- heights (hydrostatic, same construction as pbl.py)
+    # -- heights (hydrostatic; condensate loading included in tv)
     tv = t * (1.0 + constants.ZVIR * qv - ql)
-    peln = jnp.log(pe)
-    dz = constants.RDGAS * tv / g * (peln[..., 1:, :, :] - peln[..., :-1, :, :])
-    z_top_if = jnp.flip(jnp.cumsum(jnp.flip(dz, axis=kax), axis=kax), axis=kax)
-    z_if = jnp.concatenate(
-        [z_top_if, jnp.zeros_like(z_top_if[..., :1, :, :])], axis=kax
-    )
-    z_mid = 0.5 * (z_if[..., :-1, :, :] + z_if[..., 1:, :, :])
+    z_mid, z_if, dz = hydrostatic_heights(tv, pe)
 
     qt = qv + ql
     h = cp * t + g * z_mid + lv * qv
@@ -143,7 +139,7 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
     eps_dz = cfg.entrain * dz  # per-layer entrained fraction
 
     def plume(carry, xs):
-        h_u, qt_u, u_u, v_u, z_src, work, started, active = carry
+        h_u, qt_u, u_u, v_u, z_src, work, started, active, est = carry
         (h_k, qt_k, u_k, v_k, t_k, tv_k, z_k, p_k, dz_k, edz_k, issrc_k) = xs
         # entrain environment air over this layer's depth
         f = 1.0 / (1.0 + edz_k)
@@ -158,6 +154,7 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
         v_new = jnp.where(issrc_k, v_k, v_new)
         z_src = jnp.where(issrc_k, z_k, z_src)
         work = jnp.where(issrc_k, 0.0, work)
+        est = est & ~issrc_k
         started = started | issrc_k
         active = (active | issrc_k) & started
         # diagnose plume state and buoyancy at this level
@@ -169,9 +166,17 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
         work = work + jnp.maximum(tv_k - tv_u, 0.0) / tv_k \
             * constants.GRAV * dz_k
         too_dry = (~sat) & (z_k - z_src > cfg.max_subcloud_m)
-        active = active & (work <= cfg.max_cin) & ~too_dry & (qt_new > 0.0)
-        in_plume = active | issrc_k
-        carry = (h_new, qt_new, u_new, v_new, z_src, work, started, active)
+        # CIN tolerance applies only while the cloud is getting established;
+        # once a buoyant saturated level exists, the first non-buoyant level
+        # IS the cloud top (it stays in the plume as the overshoot layer,
+        # nothing continues above it)
+        top_hit = est & sat & ~buoyant & active
+        active = active & (work <= cfg.max_cin) & ~too_dry & (qt_new > 0.0) \
+            & ~top_hit
+        in_plume = (active | issrc_k | top_hit) & started
+        est = est | (in_plume & sat & buoyant)
+        carry = (h_new, qt_new, u_new, v_new, z_src, work, started, active,
+                 est)
         ys = (h_new, qt_new, u_new, v_new, t_u, qv_u, ql_u,
               in_plume & sat, in_plume, in_plume & sat & buoyant)
         return carry, ys
@@ -182,7 +187,7 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
         jnp.flip(to_k_leading(a), axis=0)
         for a in (h, qt, ua, va, t, tv, z_mid, p_mid, dz, eps_dz, is_src)
     )
-    _, ys = jax.lax.scan(plume, (zc, zc, zc, zc, zc, zc, fc, fc), xs)
+    _, ys = jax.lax.scan(plume, (zc, zc, zc, zc, zc, zc, fc, fc, fc), xs)
     (h_u, qt_u, u_u, v_u, t_u, qv_u, ql_u, cloudy, in_plume, cld_buoy) = tuple(
         jnp.moveaxis(jnp.flip(a, axis=0), 0, kax) for a in ys
     )
@@ -202,7 +207,10 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
     ) ** constants.KAPPA
     wthv = shf * (1.0 + constants.ZVIR * qv[..., -1, :, :]) \
         + constants.ZVIR * t[..., -1, :, :] * lhf
-    z_base = jnp.max(jnp.where(cloudy, z_mid, 0.0), axis=kax)
+    # convective-scale height for the Grant closure = plume-BASE height (the
+    # subcloud mixed-layer depth), i.e. the LOWEST cloudy level
+    z_base = jnp.min(jnp.where(cloudy, z_mid, jnp.inf), axis=kax)
+    z_base = jnp.where(has_cloud, z_base, 0.0)
     wstar = jnp.cbrt(jnp.maximum(g / thv1 * wthv * jnp.maximum(z_base, 1.0), 0.0))
     rho_b = p_base / (constants.RDGAS * jnp.maximum(
         jnp.sum(tv * cloudy_f, axis=kax)

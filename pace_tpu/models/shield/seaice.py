@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from ... import constants
-from .microphysics import saturation_mixing_ratio
+from .microphysics import (
+    d_saturation_mixing_ratio_dt, saturation_mixing_ratio,
+)
 from .radiation import SIGMA_SB
 
 RHO_ICE = 917.0      #: [kg/m^3]
@@ -117,9 +119,7 @@ def seaice_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
     ts = jnp.where(icy, state.tsfc, cfg.sst)
     for _ in range(cfg.newton_iters):
         qs = saturation_mixing_ratio(ts, p_sfc)
-        dqsdt = qs * 17.502 * 240.97 / (
-            jnp.clip(ts - constants.TICE, -80.0, 50.0) + 240.97
-        ) ** 2
+        dqsdt = d_saturation_mixing_ratio_dt(ts, p_sfc, qs)
         evaporating = (qs - qv1) > 0.0
         dfdt = (
             -4.0 * emis * SIGMA_SB * ts**3

@@ -139,8 +139,15 @@ def _build_mixed(cfg: SurfaceConfig, grid):
         raise ValueError("surface type 'mixed' needs the grid (latitude mask)")
     lsm_cfg = from_dict(LSMConfig, cfg.lsm or {})
     ice_cfg = from_dict(SeaIceConfig, cfg.seaice or {})
-    sinlat = jnp.clip(grid.f0 / (2.0 * constants.OMEGA), -1.0, 1.0)
-    land_mask = jnp.abs(sinlat) <= float(np.sin(np.radians(cfg.land_lat_max)))
+    sin_max = float(np.sin(np.radians(cfg.land_lat_max)))
+
+    def land_mask(like):
+        # derived from the CURRENT grid at trace time (grid may be a callable
+        # so that callers who reassign physics.grid — e.g. replicating it over
+        # a device mesh — get the updated latitudes, not a stale closure)
+        g = grid() if callable(grid) else grid
+        sinlat = jnp.clip(g.f0 / (2.0 * constants.OMEGA), -1.0, 1.0)
+        return jnp.broadcast_to(jnp.abs(sinlat) <= sin_max, like.shape)
 
     def init(shape, dtype):
         return SurfaceState(
@@ -159,7 +166,7 @@ def _build_mixed(cfg: SurfaceConfig, grid):
         fx_i, ice_new = seaice_step(
             **forcing, state=sfc.ice, dt=dt, cfg=ice_cfg
         )
-        mask = jnp.broadcast_to(land_mask, sfc.lsm.tskin.shape)
+        mask = land_mask(sfc.lsm.tskin)
         fluxes = {
             k: jnp.where(mask, fx_l[k], fx_i[k])
             for k in fx_l if k in fx_i
@@ -167,7 +174,8 @@ def _build_mixed(cfg: SurfaceConfig, grid):
         return fluxes, dataclasses.replace(sfc, lsm=lsm_new, ice=ice_new)
 
     def tskin(sfc: SurfaceState):
-        mask = jnp.broadcast_to(land_mask, sfc.lsm.tskin.shape)
-        return jnp.where(mask, sfc.lsm.tskin, sfc.ice.tsfc)
+        return jnp.where(
+            land_mask(sfc.lsm.tskin), sfc.lsm.tskin, sfc.ice.tsfc
+        )
 
     return (lsm_cfg, ice_cfg), init, step, tskin

@@ -122,3 +122,27 @@ def test_snowy_surface_reflects_more():
     fx_snow, _ = lsm_step(**f, state=snowy, dt=DT, cfg=CFG)
     assert float(fx_snow["net_radiation"].max()) \
         < float(fx_bare["net_radiation"].min())
+
+
+def test_snow_sublimates_not_soil():
+    """Snow-covered land: the latent flux is sublimation — it depletes the
+    snowpack (not layer-0 soil moisture) and uses lv + lf."""
+    snowy = LSMState(
+        tskin=jnp.full((Y, X), 265.0),
+        stc=jnp.full((4, Y, X), 265.0),
+        smc=jnp.full((4, Y, X), 0.25),
+        sneqv=jnp.full((Y, X), 0.05),
+    )
+    f = _forcing(t1=264.0, qv1=0.0005, sw=200.0)  # dry air over snow
+    fx, new = lsm_step(**f, state=snowy, dt=DT, cfg=CFG)
+    assert float(fx["evap"].min()) > 0.0
+    # vapor came out of the snowpack...
+    assert float(new.sneqv.max()) < 0.05
+    # ...not the soil
+    np.testing.assert_array_equal(np.asarray(new.smc[0]),
+                                  np.asarray(snowy.smc[0]))
+    # sublimation enthalpy: lhf = (lv + lf) * evap
+    np.testing.assert_allclose(
+        np.asarray(fx["lhf"]),
+        (constants.HLV + constants.HLF) * np.asarray(fx["evap"]), rtol=1e-12,
+    )
