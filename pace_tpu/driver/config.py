@@ -54,6 +54,7 @@ class PhysicsEnableConfig:
     pbl: Optional[dict] = None
     radiation: Optional[dict] = None
     shallow_convection: Optional[dict] = None
+    deep_convection: Optional[dict] = None
     #: interactive lower boundary (surface.py SurfaceConfig fields;
     #: type: none|land|seaice|mixed)
     surface: Optional[dict] = None

@@ -119,7 +119,9 @@ class Driver:
             from ..models.shield.pbl import PBLConfig
             from ..models.shield.physics import Physics
             from ..models.shield.radiation import GrayRadiationConfig
-            from ..models.shield.sas import ShallowConvectionConfig
+            from ..models.shield.sas import (
+                DeepConvectionConfig, ShallowConvectionConfig,
+            )
             from ..models.shield.surface import SurfaceConfig
             from ..utils.registry import from_dict
 
@@ -136,6 +138,9 @@ class Driver:
                 ),
                 sas_config=from_dict(
                     ShallowConvectionConfig, pc.shallow_convection or {}
+                ),
+                deep_config=from_dict(
+                    DeepConvectionConfig, pc.deep_convection or {}
                 ),
                 surface_config=from_dict(SurfaceConfig, pc.surface or {}),
             )

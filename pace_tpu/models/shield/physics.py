@@ -27,8 +27,8 @@ from ..fv3.state import DycoreState, TRACER_NAMES
 from .microphysics import MicrophysicsConfig, microphysics_step
 
 PHYSICS_PACKAGES = (
-    "GFS_microphysics", "GFS_PBL", "GFS_shallow_convection", "held_suarez",
-    "gray_radiation"
+    "GFS_microphysics", "GFS_PBL", "GFS_shallow_convection",
+    "GFS_deep_convection", "held_suarez", "gray_radiation"
 )
 
 _IQ = {name: i for i, name in enumerate(TRACER_NAMES)}
@@ -163,7 +163,7 @@ class Physics:
     def __init__(self, grid, schemes, timestep: float, config=None,
                  fv_sg_adj: float = 0.0, pbl_config=None,
                  radiation_config=None, sas_config=None,
-                 surface_config=None):
+                 deep_config=None, surface_config=None):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -187,6 +187,11 @@ class Physics:
 
             sas_config = ShallowConvectionConfig()
         self.sas_config = sas_config
+        if deep_config is None:
+            from .sas import DeepConvectionConfig
+
+            deep_config = DeepConvectionConfig()
+        self.deep_config = deep_config
         self.grid = grid
         self.fv_sg_adj = float(fv_sg_adj)
         # interactive lower boundary (surface.py): LSM or sea ice carried as
@@ -251,7 +256,9 @@ class Physics:
             state, u=u_new, v=v_new, pt=pt_new, q=q_new
         )
 
-    def _sas(self, state: DycoreState, shf=None, lhf=None) -> DycoreState:
+    def _sas(self, state: DycoreState, cfg, shf=None, lhf=None):
+        """Run one SAS mass-flux pass (shallow or deep per ``cfg.mode``);
+        returns (state, precip_rate)."""
         from .sas import sas_step
 
         ua, va = self._a_grid_winds(state)
@@ -260,10 +267,9 @@ class Physics:
         pkz = state.pkz
         t = state.pt * pkz / (1.0 + constants.ZVIR * qv)
         p_mid = 0.5 * (state.pe[..., 1:, :, :] + state.pe[..., :-1, :, :])
-        u_dt, v_dt, t_new, qv_new, ql_new = sas_step(
+        u_dt, v_dt, t_new, qv_new, ql_new, precip = sas_step(
             ua, va, t, qv, ql, state.pe, p_mid, state.delp, self.timestep,
-            self.sas_config,
-            sensible_heat_flux=shf, latent_heat_flux=lhf,
+            cfg, sensible_heat_flux=shf, latent_heat_flux=lhf,
         )
         u_new, v_new = apply_wind_tendencies(
             state.u, state.v, u_dt, v_dt, self.grid, self.timestep
@@ -273,7 +279,7 @@ class Physics:
         q_new = q_new.at[:, _IQ["qliquid"]].set(ql_new)
         return dataclasses.replace(
             state, u=u_new, v=v_new, pt=pt_new, q=q_new
-        )
+        ), precip
 
     def _surface_forcing(self, state: DycoreState, sw_dn, lw_dn, sfc):
         """Assemble the lowest-model-level forcing dict lsm_step/seaice_step
@@ -351,9 +357,14 @@ class Physics:
             lhf = fluxes["latent_heat_flux"]
         if "GFS_PBL" in self.schemes:
             state = self._pbl(state, shf, lhf)
+        conv_precip = None
+        if "GFS_deep_convection" in self.schemes:
+            state, conv_precip = self._sas(state, self.deep_config, shf, lhf)
         if "GFS_shallow_convection" in self.schemes:
-            state = self._sas(state, shf, lhf)
+            state, _ = self._sas(state, self.sas_config, shf, lhf)
         if "GFS_microphysics" not in self.schemes:
+            if sfc is not None and conv_precip is not None:
+                sfc = dataclasses.replace(sfc, precip=conv_precip)
             return state, sfc
         phy = dycore_to_physics(state)
         qv, ql, qi, qr, qs, qg, t, precip = microphysics_step(
@@ -374,8 +385,12 @@ class Physics:
             qgraupel=qg, pt=t, precip=precip,
         )
         if sfc is not None:
-            # carry this step's precipitation rate to next step's surface
-            sfc = dataclasses.replace(sfc, precip=precip / self.timestep)
+            # carry this step's precipitation rate (microphysics + deep
+            # convection) to next step's surface
+            rate = precip / self.timestep
+            if conv_precip is not None:
+                rate = rate + conv_precip
+            sfc = dataclasses.replace(sfc, precip=rate)
         return update_atmosphere_state(state, phy), sfc
 
 

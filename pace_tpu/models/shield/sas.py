@@ -61,8 +61,11 @@ from .microphysics import (
 
 @dataclasses.dataclass(frozen=True)
 class ShallowConvectionConfig:
-    """Tuning knobs (GFS shalcnv-like defaults)."""
+    """Tuning knobs (GFS shalcnv-like defaults). ``mode`` selects the SAS
+    variant: "shallow" (non-precipitating, Grant closure, depth-capped) or
+    "deep" (precipitating, CAPE-relaxation closure, depth floor)."""
 
+    mode: str = "shallow"        #: "shallow" | "deep"
     entrain: float = 2.0e-3      #: fractional entrainment rate [1/m]
     c_m: float = 0.03            #: Grant closure Mb = c_m * rho * w*
     parcel_excess: float = 0.3   #: source-parcel temperature excess [K]
@@ -77,6 +80,22 @@ class ShallowConvectionConfig:
     #: have no LSM; an LSM/sea-ice surface can pass arrays to sas_step):
     sensible_heat_flux: float = 0.0  #: w'T' [K m/s]
     latent_heat_flux: float = 0.0    #: w'q' [kg/kg m/s]
+    #: --- deep mode only:
+    min_depth_pa: float = 1.5e4  #: deep gate: cloud at least this thick [Pa]
+    rain_conversion: float = 2.0e-3  #: plume ql -> rain per meter of ascent
+    c_deep: float = 0.02         #: Mb = c_deep * rho_b * sqrt(CAPE)
+    tau_cape: float = 3600.0     #: CAPE relaxation timescale [s]
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepConvectionConfig(ShallowConvectionConfig):
+    """SAS deep convection defaults (GFS deepcnv analog, beyond the
+    reference's ported set): precipitating entraining plume, CAPE closure,
+    weaker entrainment, no shallow depth cap."""
+
+    mode: str = "deep"
+    entrain: float = 7.0e-4      #: deep plumes entrain less per meter
+    max_depth_pa: float = 1.0e9  #: no cap (gate is the min-depth floor)
 
 
 def _newton_plume_tq(h_u, qt_u, z, p, t_guess):
@@ -175,10 +194,22 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
             & ~top_hit
         in_plume = (active | issrc_k | top_hit) & started
         est = est | (in_plume & sat & buoyant)
+        # deep mode: convert plume condensate to rain along the ascent
+        # (removed from qt_u; h_u excludes liquid so it is untouched — the
+        # condensation heat stays in the plume temperature)
+        if cfg.mode == "deep" and cfg.rain_conversion > 0.0:
+            rain_k = jnp.where(
+                in_plume & sat,
+                ql_u * jnp.clip(cfg.rain_conversion * dz_k, 0.0, 1.0), 0.0,
+            )
+            qt_new = qt_new - rain_k
+            ql_u = ql_u - rain_k
+        else:
+            rain_k = jnp.zeros_like(qt_new)
         carry = (h_new, qt_new, u_new, v_new, z_src, work, started, active,
                  est)
         ys = (h_new, qt_new, u_new, v_new, t_u, qv_u, ql_u,
-              in_plume & sat, in_plume, in_plume & sat & buoyant)
+              in_plume & sat, in_plume, in_plume & sat & buoyant, rain_k)
         return carry, ys
 
     zc = jnp.zeros_like(t[..., 0, :, :])
@@ -188,18 +219,23 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
         for a in (h, qt, ua, va, t, tv, z_mid, p_mid, dz, eps_dz, is_src)
     )
     _, ys = jax.lax.scan(plume, (zc, zc, zc, zc, zc, zc, fc, fc, fc), xs)
-    (h_u, qt_u, u_u, v_u, t_u, qv_u, ql_u, cloudy, in_plume, cld_buoy) = tuple(
+    (h_u, qt_u, u_u, v_u, t_u, qv_u, ql_u, cloudy, in_plume, cld_buoy,
+     rain_u) = tuple(
         jnp.moveaxis(jnp.flip(a, axis=0), 0, kax) for a in ys
     )
 
-    # -- shallow-only gate + require a *buoyant* cloud (>= 1 saturated level
-    # positively buoyant — a plume that only fought CIN does not convect)
+    # -- depth gate + require a *buoyant* cloud (>= 1 saturated level
+    # positively buoyant — a plume that only fought CIN does not convect).
+    # Shallow mode caps the depth; deep mode sets a floor instead.
     cloudy_f = cloudy.astype(t.dtype)
     p_base = jnp.max(jnp.where(cloudy, p_mid, -jnp.inf), axis=kax)
     p_top = jnp.min(jnp.where(cloudy, p_mid, jnp.inf), axis=kax)
     has_cloud = jnp.any(cld_buoy, axis=kax)
     depth = jnp.where(has_cloud, p_base - p_top, 0.0)
-    gate = has_cloud & (depth <= cfg.max_depth_pa)
+    if cfg.mode == "deep":
+        gate = has_cloud & (depth >= cfg.min_depth_pa)
+    else:
+        gate = has_cloud & (depth <= cfg.max_depth_pa)
 
     # -- Grant closure: w* from surface buoyancy flux and plume-base height
     thv1 = tv[..., -1, :, :] * (
@@ -215,7 +251,17 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
     rho_b = p_base / (constants.RDGAS * jnp.maximum(
         jnp.sum(tv * cloudy_f, axis=kax)
         / jnp.maximum(jnp.sum(cloudy_f, axis=kax), 1.0), 100.0))
-    mb = jnp.where(gate, cfg.c_m * rho_b * wstar, 0.0)
+    if cfg.mode == "deep":
+        # CAPE closure: Mb = c_deep * rho_b * sqrt(2*CAPE), CAPE integrated
+        # over the buoyant plume layers (the A-S quasi-equilibrium scale)
+        tv_plume = jnp.where(
+            in_plume, t_u * (1.0 + constants.ZVIR * qv_u - ql_u), tv
+        )
+        buoy_acc = jnp.maximum(tv_plume - tv, 0.0) / tv
+        cape = jnp.sum(g * buoy_acc * dz * in_plume.astype(t.dtype), axis=kax)
+        mb = jnp.where(gate, cfg.c_deep * rho_b * jnp.sqrt(2.0 * cape), 0.0)
+    else:
+        mb = jnp.where(gate, cfg.c_m * rho_b * wstar, 0.0)
 
     # CFL cap: g * M * dt / dp <= cfl_limit over every plume layer
     plume_f = in_plume.astype(t.dtype)
@@ -244,6 +290,14 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
     dh = dt * flux_div(sel(h_u, h), h)
     dqt = dt * flux_div(sel(qt_u, qt), qt)
 
+    # -- deep mode: the rain generated in the plume leaves the column. The
+    # sink at each layer is (mass flux through the layer) * (rain per unit
+    # plume mass); h excludes liquid so only qt is touched.
+    m_top = m_if[..., :-1, :, :]  # flux through each layer's top interface
+    rain_sink = m_top * jnp.where(in_plume, rain_u, 0.0)  # [kg/m^2/s]
+    precip = jnp.sum(rain_sink, axis=kax)  # surface rain rate [kg/m^2/s]
+    dqt = dqt - dt * g * rain_sink / delp
+
     # -- recover (T, qv, ql): detrained water in cloudy layers becomes cloud
     # liquid; elsewhere (and for drying) the change is vapor. h-conservation
     # then fixes the temperature: cp*dT = dh - L*dqv.
@@ -269,4 +323,4 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
     else:
         u_dt = jnp.zeros_like(ua)
         v_dt = jnp.zeros_like(va)
-    return u_dt, v_dt, t_new, qv_new, ql_new
+    return u_dt, v_dt, t_new, qv_new, ql_new, precip

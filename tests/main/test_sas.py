@@ -56,7 +56,7 @@ DT = 600.0
 
 def test_triggers_and_transports():
     ua, va, t, qv, ql, pe, p_mid, delp = _column(unstable=True)
-    u_dt, v_dt, t_new, qv_new, ql_new = sas_step(
+    u_dt, v_dt, t_new, qv_new, ql_new, _pr = sas_step(
         ua, va, t, qv, ql, pe, p_mid, delp, DT, CFG
     )
     assert float(jnp.max(jnp.abs(t_new - t))) > 1e-4  # scheme did something
@@ -70,7 +70,7 @@ def test_triggers_and_transports():
 
 def test_exact_column_conservation():
     ua, va, t, qv, ql, pe, p_mid, delp = _column(unstable=True)
-    u_dt, v_dt, t_new, qv_new, ql_new = sas_step(
+    u_dt, v_dt, t_new, qv_new, ql_new, _pr = sas_step(
         ua, va, t, qv, ql, pe, p_mid, delp, DT, CFG
     )
     # total water: sum (qv+ql) dp  — exact (flux form, M=0 at both ends)
@@ -93,7 +93,7 @@ def test_exact_column_conservation():
 def test_stable_column_is_noop():
     ua, va, t, qv, ql, pe, p_mid, delp = _column(unstable=False)
     cfg = ShallowConvectionConfig()  # zero surface fluxes -> w* = 0 -> Mb = 0
-    u_dt, v_dt, t_new, qv_new, ql_new = sas_step(
+    u_dt, v_dt, t_new, qv_new, ql_new, _pr = sas_step(
         ua, va, t, qv, ql, pe, p_mid, delp, DT, cfg
     )
     assert float(jnp.max(jnp.abs(t_new - t))) == 0.0
@@ -106,7 +106,7 @@ def test_deep_cloud_is_gated_out():
     cfg = ShallowConvectionConfig(
         sensible_heat_flux=0.08, latent_heat_flux=8e-5, max_depth_pa=1.0
     )  # any real cloud is "too deep" under this cap
-    u_dt, v_dt, t_new, qv_new, ql_new = sas_step(
+    u_dt, v_dt, t_new, qv_new, ql_new, _pr = sas_step(
         ua, va, t, qv, ql, pe, p_mid, delp, DT, cfg
     )
     assert float(jnp.max(jnp.abs(t_new - t))) == 0.0
@@ -117,7 +117,7 @@ def test_deep_cloud_is_gated_out():
 def test_cfl_bounded_at_any_dt(dt):
     ua, va, t, qv, ql, pe, p_mid, delp = _column(unstable=True)
     cfg = ShallowConvectionConfig(sensible_heat_flux=0.3, latent_heat_flux=3e-4)
-    u_dt, v_dt, t_new, qv_new, ql_new = sas_step(
+    u_dt, v_dt, t_new, qv_new, ql_new, _pr = sas_step(
         ua, va, t, qv, ql, pe, p_mid, delp, dt, cfg
     )
     assert np.all(np.isfinite(np.asarray(t_new)))
@@ -154,3 +154,82 @@ def test_coupled_sas_in_physics_driver():
     assert not bool(jnp.isnan(out.u).any())
     assert float(out.q.min()) > -1e-12
     assert np.abs(np.asarray(out.pt - state.pt)).max() < 20.0
+
+
+def _deep_column():
+    """Conditionally unstable through a deep layer: near-moist-adiabatic
+    lapse with high humidity up to ~400 hPa."""
+    ak = np.linspace(2000.0, 0.0, K + 1)
+    bk = np.linspace(0.0, 1.0, K + 1) ** 1.3
+    ps = 1.0e5
+    pe = (ak[:, None, None] + bk[:, None, None] * ps) * np.ones((K + 1, NY, NX))
+    p_mid = 0.5 * (pe[1:] + pe[:-1])
+    delp = pe[1:] - pe[:-1]
+    # dry-neutral (constant theta) through 450 hPa -> deep buoyant ascent
+    p_cap = 0.45 * ps
+    t_ml = 302.0 * (p_mid / ps) ** 0.2857
+    t_cap = 302.0 * (p_cap / ps) ** 0.2857
+    t = np.maximum(np.where(p_mid > p_cap, t_ml,
+                            t_cap * (p_mid / p_cap) ** 0.10), 195.0)
+    qsat = 0.622 * 611.21 * np.exp(
+        17.502 * (t - 273.16) / (t - 273.16 + 240.97)
+    ) / np.maximum(p_mid - 611.21, 1.0)
+    qv = np.minimum(0.9 * qsat, 0.02)
+    ql = np.zeros_like(qv)
+    ua = np.full((K, NY, NX), 5.0)
+    va = np.full((K, NY, NX), -3.0)
+    j = jnp.asarray
+    return (j(ua), j(va), j(t), j(qv), j(ql), j(pe), j(p_mid), j(delp))
+
+
+def test_deep_convection_precipitates_and_conserves_mse():
+    from pace_tpu.models.shield.sas import DeepConvectionConfig
+
+    ua, va, t, qv, ql, pe, p_mid, delp = _deep_column()
+    cfg = DeepConvectionConfig(sensible_heat_flux=0.05, latent_heat_flux=5e-5)
+    u_dt, v_dt, t_new, qv_new, ql_new, precip = sas_step(
+        ua, va, t, qv, ql, pe, p_mid, delp, DT, cfg
+    )
+    g = constants.GRAV
+    assert float(precip.min()) > 0.0  # it rains
+    # column water decreases by EXACTLY the surface precipitation
+    qt0 = jnp.sum((qv + ql) * delp, axis=0) / g
+    qt1 = jnp.sum((qv_new + ql_new) * delp, axis=0) / g
+    np.testing.assert_allclose(np.asarray(qt0 - qt1),
+                               np.asarray(precip) * DT, rtol=1e-9)
+    # moist static energy (cp T + L qv) is conserved: rain removes liquid,
+    # which carries no MSE in this convention
+    h0 = jnp.sum((constants.CP_AIR * t + constants.HLV * qv) * delp, axis=0)
+    h1 = jnp.sum((constants.CP_AIR * t_new + constants.HLV * qv_new) * delp,
+                 axis=0)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-12)
+    # net column latent heating: precipitation implies cp*dT column > 0
+    heat = jnp.sum(constants.CP_AIR * (t_new - t) * delp, axis=0) / g
+    np.testing.assert_allclose(
+        np.asarray(heat), constants.HLV * np.asarray(precip) * DT, rtol=1e-6
+    )
+
+
+def test_deep_gate_rejects_shallow_cloud():
+    """The shallow sounding (capped at 800 hPa) must NOT trigger deep
+    convection (depth < min_depth floor likely holds; if it does trigger the
+    tendencies must stay bounded)."""
+    from pace_tpu.models.shield.sas import DeepConvectionConfig
+
+    ua, va, t, qv, ql, pe, p_mid, delp = _column(unstable=True)
+    cfg = DeepConvectionConfig(
+        sensible_heat_flux=0.08, latent_heat_flux=8e-5, min_depth_pa=4.0e4
+    )
+    u_dt, v_dt, t_new, qv_new, ql_new, precip = sas_step(
+        ua, va, t, qv, ql, pe, p_mid, delp, DT, cfg
+    )
+    assert float(jnp.max(jnp.abs(t_new - t))) == 0.0
+    assert float(precip.max()) == 0.0
+
+
+def test_shallow_mode_never_precipitates():
+    ua, va, t, qv, ql, pe, p_mid, delp = _column(unstable=True)
+    u_dt, v_dt, t_new, qv_new, ql_new, precip = sas_step(
+        ua, va, t, qv, ql, pe, p_mid, delp, DT, CFG
+    )
+    assert float(jnp.abs(precip).max()) == 0.0

@@ -211,3 +211,21 @@ def test_mixed_surface_blends_by_latitude():
     # ice skin is capped at melting; land tropics run warm
     assert ts[polar].max() <= 273.16 + 1e-6
     assert ts[tropic].mean() > ts[polar].mean()
+
+
+def test_deep_convection_in_coupled_loop():
+    """Full stack incl. deep convection: runs, physical, convective precip
+    feeds the surface carry."""
+    state, grid = _setup(qv0=1e-2)
+    phys = Physics(
+        grid,
+        ("gray_radiation", "GFS_PBL", "GFS_deep_convection",
+         "GFS_shallow_convection", "GFS_microphysics"),
+        timestep=600.0,
+        surface_config=SurfaceConfig(type="land", t_init=295.0),
+    )
+    s1 = phys(state)
+    s2 = phys(s1)
+    assert not bool(jnp.isnan(s2.pt).any())
+    assert float(s2.q.min()) > -1e-12
+    assert float(phys.surface_state.precip.min()) >= 0.0
