@@ -48,7 +48,7 @@ class DiagnosticsConfig:
 class NullDiagnostics:
     """Reference NullDiagnostics analog."""
 
-    def store(self, time_seconds: float, state):
+    def store(self, time_seconds: float, state, extras=None):
         pass
 
     def store_grid(self, mt):
@@ -188,11 +188,16 @@ class MonitorDiagnostics:
             return (q * dp).sum(axis=-3) / constants.GRAV
         raise KeyError(f"unknown derived diagnostic {name!r}")
 
-    def store(self, time_seconds: float, state):
+    def store(self, time_seconds: float, state, extras=None):
+        """``extras``: dict of physics/surface fields (precipitation, skin
+        temperature, ...) not living on the DycoreState — the driver passes
+        them so yaml `names` can request them like any state field."""
         self.times.append(time_seconds)
         it = len(self.times) - 1
         for name in self.config.names:
-            field = getattr(state, name)
+            field = getattr(state, name, None)
+            if field is None and extras is not None:
+                field = extras.get(name)
             if field is None:
                 raise ValueError(
                     f"diagnostic {name!r} requested but not filled by the "

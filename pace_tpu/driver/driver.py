@@ -184,7 +184,9 @@ class Driver:
         ctx = jax.disable_jit() if self._eager else contextlib.nullcontext()
         with ctx:
             if self.config.diagnostics_config.output_initial_state:
-                self.diagnostics.store(self.time_seconds, self.state)
+                self.diagnostics.store(
+                    self.time_seconds, self.state, self._physics_extras()
+                )
             for _ in range(n):
                 t0 = _time.perf_counter()
                 with self.timer.clock("mainloop"):
@@ -269,7 +271,9 @@ class Driver:
         """Reference _end_of_step_actions analog (driver.py:593-625)."""
         cfg = self.config
         if self._step_count % cfg.diagnostics_config.output_frequency == 0:
-            self.diagnostics.store(self.time_seconds, self.state)
+            self.diagnostics.store(
+                self.time_seconds, self.state, self._physics_extras()
+            )
             # ongoing perf summary at every output step (reference rank-0
             # ongoing summaries, driver.py:600-609) — a crash mid-run still
             # leaves usable timings on disk
@@ -291,6 +295,24 @@ class Driver:
             save_restart(path, self.state, self.time_seconds)
             self._save_surface(path)
             cfg.write_for_restart(path, self.time_seconds)
+
+    def _physics_extras(self):
+        """Physics/surface diagnostics (precipitation rate, skin temperature,
+        snow/ice/soil state) for yaml `diagnostics_config.names` — fields not
+        living on the DycoreState."""
+        phys = self.physics
+        if phys is None or phys.surface_state is None:
+            return None
+        sfc = phys.surface_state
+        extras = {"precipitation": sfc.precip}
+        if phys._surface is not None:
+            extras["tskin"] = phys._surface[3](sfc)
+        if sfc.lsm is not None:
+            extras["snow_water_equivalent"] = sfc.lsm.sneqv
+            extras["soil_moisture"] = sfc.lsm.smc[..., 0, :, :]
+        if sfc.ice is not None:
+            extras["h_ice"] = sfc.ice.h_ice
+        return extras
 
     def _save_surface(self, path):
         if self.physics is not None and self.physics.surface_state is not None:

@@ -229,3 +229,42 @@ def test_deep_convection_in_coupled_loop():
     assert not bool(jnp.isnan(s2.pt).any())
     assert float(s2.q.min()) > -1e-12
     assert float(phys.surface_state.precip.min()) >= 0.0
+
+
+def test_physics_diagnostics_in_output(tmp_path):
+    """`names: [precipitation, tskin, ...]` resolve from the physics/surface
+    state through the driver diagnostics."""
+    import h5py
+
+    from pace_tpu.driver.config import DriverConfig
+    from pace_tpu.driver.driver import Driver
+
+    cfg = DriverConfig.from_dict({
+        "nx_tile": 12,
+        "nz": 8,
+        "layout": [1, 1],
+        "dt_atmos": 300.0,
+        "minutes": 10,
+        "dycore_config": {"k_split": 1, "n_split": 2, "hydrostatic": True},
+        "physics_config": {
+            "schemes": ["gray_radiation", "GFS_microphysics"],
+            "surface": {"type": "land", "t_init": 290.0},
+        },
+        "diagnostics_config": {
+            "path": str(tmp_path / "out"),
+            "output_frequency": 1,
+            "names": ["ps", "precipitation", "tskin", "soil_moisture",
+                      "snow_water_equivalent"],
+        },
+        "performance_config": {"experiment_name": str(tmp_path / "exp")},
+    })
+    d = Driver(cfg)
+    d.step_all()
+    d.cleanup()
+    with h5py.File(tmp_path / "out" / "diagnostics.h5") as f:
+        for name in ("precipitation", "tskin", "soil_moisture",
+                     "snow_water_equivalent"):
+            assert name in f, name
+            assert np.isfinite(np.asarray(f[name])).all(), name
+        ts = np.asarray(f["tskin"])
+        assert 200.0 < ts.min() and ts.max() < 350.0
