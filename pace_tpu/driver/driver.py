@@ -192,7 +192,9 @@ class Driver:
                 with self.timer.clock("mainloop"):
                     self.state = self.dycore.step_dynamics(self.state)
                     if self.physics is not None:
-                        self.state = self.physics(self.state)
+                        self.state = self.physics(
+                            self.state, self.time_seconds
+                        )
                 # block so per-step timings are honest
                 self.state.u.block_until_ready()
                 if self.dycore_pair is not None:

@@ -134,6 +134,8 @@ class GridData:
     # Coriolis parameter
     f0: jnp.ndarray  # (S, Y, X) centers
     fC: jnp.ndarray  # (S, Y+1, X+1) corners
+    lat_agrid: jnp.ndarray  # (S, Y, X) cell-center latitude [rad]
+    lon_agrid: jnp.ndarray  # (S, Y, X) cell-center longitude [rad]
 
     # vertical coordinate
     ak: jnp.ndarray  # (npz+1,)
@@ -288,6 +290,8 @@ class GridData:
             cos_sg_n=j(cos_sg[:, SG_N]),
             f0=j(mt.f0),
             fC=j(mt.fC),
+            lat_agrid=j(mt.lat_agrid),
+            lon_agrid=j(mt.lon_agrid),
             ak=j(mt.ak),
             bk=j(mt.bk),
             edge_w_iface=j(edge_w),

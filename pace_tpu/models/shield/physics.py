@@ -205,16 +205,20 @@ class Physics:
         self.surface_state = None
         self._call = jax.jit(self._call_impl)
 
-    def __call__(self, state: DycoreState) -> DycoreState:
+    def __call__(self, state: DycoreState,
+                 time_seconds: float = 0.0) -> DycoreState:
+        t = jnp.asarray(time_seconds, dtype=jnp.float32)
         if self._surface is not None:
             if self.surface_state is None:
                 _, init, _, _ = self._surface
                 self.surface_state = init(
                     state.ps.shape, state.ps.dtype
                 )
-            state, self.surface_state = self._call(state, self.surface_state)
+            state, self.surface_state = self._call(
+                state, self.surface_state, t
+            )
             return state
-        state, _ = self._call(state, None)
+        state, _ = self._call(state, None, t)
         return state
 
     def _a_grid_winds(self, state: DycoreState):
@@ -308,7 +312,7 @@ class Physics:
             sw_dn=sw_dn, lw_dn=lw_dn, precip=sfc.precip,
         )
 
-    def _call_impl(self, state: DycoreState, sfc):
+    def _call_impl(self, state: DycoreState, sfc, time_seconds=0.0):
         if self.fv_sg_adj > 0.0:
             pt_adj, q_adj = dry_convective_adjustment(
                 state.pt, state.q, state.delp, self.timestep, self.fv_sg_adj
@@ -343,7 +347,11 @@ class Physics:
                 t_surf=t_surf, qv=state.q[:, _IQ["qvapor"]],
             )
             sw_dn_sfc = jnp.broadcast_to(
-                sw_down_surface(sinlat * sinlat, self.radiation_config),
+                sw_down_surface(
+                    sinlat * sinlat, self.radiation_config,
+                    lat=self.grid.lat_agrid, lon=self.grid.lon_agrid,
+                    time_seconds=time_seconds,
+                ),
                 state.ps.shape,
             )
             state = dataclasses.replace(state, pt=pt_new)

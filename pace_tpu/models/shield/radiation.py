@@ -39,6 +39,10 @@ class GrayRadiationConfig:
     albedo: float = 0.31
     del_sol: float = 1.4     #: P2(lat) shortwave contrast parameter
     t_surf: float = 288.0    #: prescribed surface temperature [K] (no slab)
+    #: --- diurnal cycle (off = Frierson annual/diurnal-mean P2 forcing):
+    diurnal: bool = False
+    day_length: float = 86400.0     #: solar day [s]
+    declination_deg: float = 0.0    #: solar declination (0 = equinox)
     #: --- interactive water vapor (Byrne & O'Gorman 2013 extension of the
     #: gray scheme): tau built from the simulated humidity instead of the
     #: prescribed latitude profile — the water-vapor LW feedback
@@ -117,10 +121,28 @@ def sw_surface(sinlat2, cfg: GrayRadiationConfig):
     )
 
 
-def sw_down_surface(sinlat2, cfg: GrayRadiationConfig):
+def sw_down_surface(sinlat2, cfg: GrayRadiationConfig,
+                    lat=None, lon=None, time_seconds=None):
     """Downward SW at the surface BEFORE surface albedo — what an interactive
     surface scheme (lsm.py / seaice.py) takes as forcing, applying its own
-    albedo. The gray atmosphere is SW-transparent."""
+    albedo. The gray atmosphere is SW-transparent.
+
+    Default: the Frierson annual/diurnal-mean P2 profile. With
+    ``cfg.diurnal`` and (lat, lon [rad], time_seconds) supplied: instantaneous
+    insolation S0 * max(cos(zenith), 0) from the solar hour angle — the
+    diurnal cycle."""
+    if cfg.diurnal and lat is not None and lon is not None \
+            and time_seconds is not None:
+        import numpy as np
+
+        decl = float(np.radians(cfg.declination_deg))
+        # hour angle: solar noon at lon=0 when time mod day = day/2
+        hour = 2.0 * jnp.pi * (time_seconds / cfg.day_length) + lon - jnp.pi
+        cosz = (
+            jnp.sin(lat) * float(np.sin(decl))
+            + jnp.cos(lat) * float(np.cos(decl)) * jnp.cos(hour)
+        )
+        return cfg.solar_constant * jnp.maximum(cosz, 0.0)
     p2 = (1.0 - 3.0 * sinlat2) / 4.0
     return cfg.solar_constant / 4.0 * (1.0 + cfg.del_sol * p2)
 

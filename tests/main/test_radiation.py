@@ -160,3 +160,34 @@ def test_interactive_vapor_optical_depth():
         pt, pkz, pe, pe[-1], jnp.zeros((Y, X)), 600.0, cfg
     )
     assert bool(jnp.isfinite(pt2).all())
+
+
+def test_diurnal_cycle_insolation():
+    """Diurnal SW: zero at local night, S0*cos(zenith) at local noon; the
+    default (annual-mean) path is unchanged when diurnal is off."""
+    from pace_tpu.models.shield.radiation import (
+        GrayRadiationConfig, sw_down_surface,
+    )
+
+    cfg = GrayRadiationConfig(diurnal=True)
+    lat = jnp.zeros((2, 3))       # equator
+    lon = jnp.zeros((2, 3))       # lon 0
+    # solar noon at lon=0: time = day/2
+    noon = sw_down_surface(jnp.zeros((2, 3)), cfg, lat=lat, lon=lon,
+                           time_seconds=jnp.asarray(43200.0))
+    midnight = sw_down_surface(jnp.zeros((2, 3)), cfg, lat=lat, lon=lon,
+                               time_seconds=jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(noon), cfg.solar_constant,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(midnight), 0.0, atol=1e-9)
+    # opposite longitude is in daylight at our midnight
+    far = sw_down_surface(jnp.zeros((2, 3)), cfg, lat=lat,
+                          lon=jnp.full((2, 3), np.pi),
+                          time_seconds=jnp.asarray(0.0))
+    assert float(far.min()) > 0.9 * cfg.solar_constant
+    # diurnal off -> Frierson profile regardless of time args
+    off = GrayRadiationConfig(diurnal=False)
+    base = sw_down_surface(jnp.zeros((2, 3)), off)
+    with_t = sw_down_surface(jnp.zeros((2, 3)), off, lat=lat, lon=lon,
+                             time_seconds=jnp.asarray(1234.0))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(with_t))
