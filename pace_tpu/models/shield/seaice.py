@@ -62,6 +62,11 @@ class SeaIceConfig:
     sst: float = 274.0           #: open-ocean mixed-layer temperature [K]
     h_min: float = 0.01          #: below this the point is ice-free [m]
     newton_iters: int = 3
+    #: --- slab ocean: prognostic mixed-layer SST for open water (the
+    #: aquaplanet/Frierson-hierarchy lower boundary); without it open water
+    #: sits at the fixed cfg.sst
+    slab_ocean: bool = False
+    mixed_layer_depth: float = 30.0  #: slab depth [m]
 
 
 @jax.tree_util.register_dataclass
@@ -72,13 +77,17 @@ class SeaIceState:
     h_ice: jnp.ndarray   #: ice thickness [m]        (.., Y, X)
     h_snow: jnp.ndarray  #: snow depth on ice [m]    (.., Y, X)
     tsfc: jnp.ndarray    #: surface temperature [K]  (.., Y, X)
+    sst: jnp.ndarray     #: mixed-layer ocean temperature [K] (.., Y, X)
 
     @classmethod
-    def init(cls, shape, h0=1.0, t0=265.0, dtype=jnp.float32):
+    def init(cls, shape, h0=1.0, t0=265.0, sst0=None, dtype=jnp.float32):
+        if sst0 is None:
+            sst0 = max(t0, T_FREEZE_OCEAN)
         return cls(
             h_ice=jnp.full(shape, h0, dtype=dtype),
             h_snow=jnp.zeros(shape, dtype=dtype),
             tsfc=jnp.full(shape, t0, dtype=dtype),
+            sst=jnp.full(shape, sst0, dtype=dtype),
         )
 
 
@@ -116,7 +125,10 @@ def seaice_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
         fc = cond * (T_FREEZE_OCEAN - ts)
         return rad - h - le + fc
 
-    ts = jnp.where(icy, state.tsfc, cfg.sst)
+    sst_open = state.sst if cfg.slab_ocean else jnp.broadcast_to(
+        jnp.asarray(cfg.sst, state.tsfc.dtype), state.tsfc.shape
+    )
+    ts = jnp.where(icy, state.tsfc, sst_open)
     for _ in range(cfg.newton_iters):
         qs = saturation_mixing_ratio(ts, p_sfc)
         dqsdt = d_saturation_mixing_ratio_dt(ts, p_sfc, qs)
@@ -133,7 +145,7 @@ def seaice_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
     melt_flux = jnp.where(
         icy & (ts > T_MELT), jnp.maximum(balance(ts_capped), 0.0), 0.0
     )
-    ts = jnp.where(icy, ts_capped, cfg.sst)
+    ts = jnp.where(icy, ts_capped, sst_open)
 
     melt_m = melt_flux * dt / (constants.HLF * RHO_SNOW)  # as snow depth
     snow_melt = jnp.minimum(melt_m, state.h_snow)
@@ -147,14 +159,37 @@ def seaice_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
     dh_bottom = jnp.where(
         icy, dt * (fc - cfg.ocean_heat_flux) / (constants.HLF * RHO_ICE), 0.0
     )
-    # ice-free ocean: freeze new ice when the surface balance at T_freeze is
-    # negative (the mixed layer loses more heat than the ocean flux supplies)
-    deficit = -(balance(jnp.full_like(ts, T_FREEZE_OCEAN))
-                + cfg.ocean_heat_flux)
-    new_ice = jnp.where(
-        ~icy & (deficit > 0.0),
-        dt * deficit / (constants.HLF * RHO_ICE), 0.0,
-    )
+    # ice-free ocean freeze-up. Slab mode: prognose the mixed-layer SST from
+    # the surface energy balance; the part of the cooling that would take the
+    # slab below freezing freezes new ice instead (exact energy bookkeeping).
+    # Fixed-SST mode: freeze at the rate of the balance deficit at T_freeze.
+    cw_slab = RHO_WATER * 4218.0 * cfg.mixed_layer_depth  # [J/m^2/K]
+    if cfg.slab_ocean:
+        # open-water balance at the slab temperature (cond term excluded)
+        qs_o = saturation_mixing_ratio(sst_open, p_sfc)
+        net_open = (
+            (1.0 - cfg.albedo_ocean) * sw_dn
+            + emis * lw_dn - emis * SIGMA_SB * sst_open**4
+            - rho * cp * ch * (sst_open - t1)
+            - rho * lv * ch * jnp.maximum(qs_o - qv1, 0.0)
+            + cfg.ocean_heat_flux
+        )
+        sst_raw = sst_open + dt * net_open / cw_slab
+        freeze_def = jnp.maximum(T_FREEZE_OCEAN - sst_raw, 0.0) * cw_slab
+        new_ice = jnp.where(
+            ~icy, freeze_def / (constants.HLF * RHO_ICE), 0.0
+        )
+        sst_new = jnp.where(
+            icy, T_FREEZE_OCEAN, jnp.maximum(sst_raw, T_FREEZE_OCEAN)
+        )
+    else:
+        deficit = -(balance(jnp.full_like(ts, T_FREEZE_OCEAN))
+                    + cfg.ocean_heat_flux)
+        new_ice = jnp.where(
+            ~icy & (deficit > 0.0),
+            dt * deficit / (constants.HLF * RHO_ICE), 0.0,
+        )
+        sst_new = state.sst
 
     is_frozen = t1 < constants.TICE
     snowfall = jnp.where(icy & is_frozen, precip, 0.0)  # [kg/m^2/s]
@@ -175,7 +210,8 @@ def seaice_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
     lhf = lheat * evap
     rnet = sw_abs + emis * lw_dn - emis * SIGMA_SB * ts**4
 
-    new_state = SeaIceState(h_ice=h_ice_new, h_snow=h_snow_new, tsfc=ts)
+    new_state = SeaIceState(h_ice=h_ice_new, h_snow=h_snow_new, tsfc=ts,
+                            sst=sst_new)
     fluxes = {
         "shf": shf,
         "lhf": lhf,

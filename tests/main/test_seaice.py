@@ -55,7 +55,7 @@ def test_snow_insulates_and_melts_first():
     bare = SeaIceState.init((Y, X), h0=1.0, t0=260.0, dtype=jnp.float64)
     snowy = SeaIceState(h_ice=bare.h_ice,
                         h_snow=jnp.full((Y, X), 0.2, dtype=jnp.float64),
-                        tsfc=bare.tsfc)
+                        tsfc=bare.tsfc, sst=bare.sst)
     cold = _forcing(t1=250.0, lw=150.0)
     fx_b, _ = seaice_step(**cold, state=bare, dt=DT, cfg=CFG)
     fx_s, _ = seaice_step(**cold, state=snowy, dt=DT, cfg=CFG)
@@ -104,3 +104,38 @@ def test_kinematic_flux_consistency():
         np.asarray(fx["sensible_heat_flux"]) * rho * constants.CP_AIR,
         np.asarray(fx["shf"]), rtol=1e-12,
     )
+
+
+def test_slab_ocean_warms_cools_and_freezes():
+    """Prognostic mixed-layer SST: warms under sun, cools in polar night, and
+    the below-freezing energy deficit freezes ice with exact bookkeeping."""
+    from pace_tpu.models.shield.seaice import RHO_ICE
+
+    cfg = SeaIceConfig(slab_ocean=True, mixed_layer_depth=10.0,
+                       ocean_heat_flux=0.0)
+    open_w = SeaIceState.init((Y, X), h0=0.0, t0=276.0, dtype=jnp.float64)
+    sunny = _forcing(t1=278.0, qv1=0.006, sw=600.0, lw=340.0)
+    _, warmed = seaice_step(**sunny, state=open_w, dt=3600.0, cfg=cfg)
+    assert float((warmed.sst - open_w.sst).min()) > 0.0
+    assert float(warmed.h_ice.max()) == 0.0
+
+    night = _forcing(t1=250.0, qv1=0.001, sw=0.0, lw=140.0)
+    _, cooled = seaice_step(**night, state=open_w, dt=3600.0, cfg=cfg)
+    assert float((open_w.sst - cooled.sst).min()) > 0.0
+
+    # near-freezing slab in polar night: cooling past T_freeze -> new ice,
+    # energy deficit converted exactly (slab heat + latent heat balance)
+    cold_sea = SeaIceState.init((Y, X), h0=0.0, t0=271.4, dtype=jnp.float64)
+    _, frozen = seaice_step(**night, state=cold_sea, dt=6 * 3600.0, cfg=cfg)
+    assert float(frozen.h_ice.min()) > 0.0
+    assert float(frozen.sst.min()) >= T_FREEZE_OCEAN - 1e-9
+    # skin of the new-ice point reported at the slab/freezing temperature
+    assert float(frozen.tsfc.max()) <= 276.0
+
+
+def test_slab_ocean_pinned_under_ice():
+    cfg = SeaIceConfig(slab_ocean=True)
+    ice = SeaIceState.init((Y, X), h0=1.0, t0=260.0, sst0=273.0,
+                           dtype=jnp.float64)
+    _, new = seaice_step(**_forcing(t1=255.0), state=ice, dt=3600.0, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(new.sst), T_FREEZE_OCEAN)
