@@ -143,6 +143,7 @@ class Driver:
                     DeepConvectionConfig, pc.deep_convection or {}
                 ),
                 surface_config=from_dict(SurfaceConfig, pc.surface or {}),
+                halo=self.halo,
             )
             self._maybe_load_surface()
 

@@ -163,7 +163,7 @@ class Physics:
     def __init__(self, grid, schemes, timestep: float, config=None,
                  fv_sg_adj: float = 0.0, pbl_config=None,
                  radiation_config=None, sas_config=None,
-                 deep_config=None, surface_config=None):
+                 deep_config=None, surface_config=None, halo=None):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -192,6 +192,7 @@ class Physics:
 
             deep_config = DeepConvectionConfig()
         self.deep_config = deep_config
+        self.halo = halo  # for the tendency halo update (None = zero halos)
         self.grid = grid
         self.fv_sg_adj = float(fv_sg_adj)
         # interactive lower boundary (surface.py): LSM or sea ice carried as
@@ -252,7 +253,8 @@ class Physics:
             sensible_heat_flux=shf, latent_heat_flux=lhf,
         )
         u_new, v_new = apply_wind_tendencies(
-            state.u, state.v, u_dt, v_dt, grid, self.timestep
+            state.u, state.v, u_dt, v_dt, grid, self.timestep,
+            halo=self.halo,
         )
         pt_new = t_new * (1.0 + constants.ZVIR * qv_new) / pkz
         q_new = state.q.at[:, _IQ["qvapor"]].set(qv_new)
@@ -276,7 +278,8 @@ class Physics:
             cfg, sensible_heat_flux=shf, latent_heat_flux=lhf,
         )
         u_new, v_new = apply_wind_tendencies(
-            state.u, state.v, u_dt, v_dt, self.grid, self.timestep
+            state.u, state.v, u_dt, v_dt, self.grid, self.timestep,
+            halo=self.halo,
         )
         pt_new = t_new * (1.0 + constants.ZVIR * qv_new) / pkz
         q_new = state.q.at[:, _IQ["qvapor"]].set(qv_new)
@@ -402,12 +405,22 @@ class Physics:
         return update_atmosphere_state(state, phy), sfc
 
 
-def apply_wind_tendencies(u, v, u_dt, v_dt, grid, dt: float):
+def apply_wind_tendencies(u, v, u_dt, v_dt, grid, dt: float, halo=None):
     """Project A-grid Cartesian-vector wind tendencies onto the D-grid points
     (reference UpdateAtmosphereState A->D wind-tendency remap analog).
 
     u_dt/v_dt are CONTRAVARIANT A-grid tendencies; the Cartesian tendency
     vector is interpolated to each staggered point and projected on its basis.
+
+    Physics is column-local: halo columns carry UNDEFINED values (stale, and
+    possibly inf/NaN from schemes dividing by garbage pressures there), but
+    the staggered interpolation averages adjacent columns — without cleanup a
+    single bad halo column poisons interior D-grid points (the deep-convection
+    blowup of 2026-08-18). The reference does a halo update of the tendencies
+    before the remap (SURVEY §2.4 UpdateAtmosphereState "needs communicator").
+    With ``halo``: exchange the three Cartesian components (rotation-invariant
+    scalars, one pass) so compute-boundary D points see real neighbor
+    tendencies. Without it: zero the halo columns via `where` (NaN/inf-safe).
     """
     from ...ops.d2a2c import centers_to_x_ifaces, centers_to_y_ifaces
     from ...ops.stencil_utils import bcast_k
@@ -415,6 +428,15 @@ def apply_wind_tendencies(u, v, u_dt, v_dt, grid, dt: float):
     du = jnp.expand_dims(u_dt, -3)
     dv = jnp.expand_dims(v_dt, -3)
     vcart = du * bcast_k(grid.ec1, du) + dv * bcast_k(grid.ec2, dv)
+    if halo is not None:
+        vcart = halo.update_scalar(vcart, stagger="center")
+    else:
+        h = constants.N_HALO_DEFAULT
+        ny, nx = vcart.shape[-2], vcart.shape[-1]
+        iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+        interior = ((iy >= h) & (iy < ny - h) & (ix >= h) & (ix < nx - h))
+        vcart = jnp.where(interior, vcart, 0.0)
     cy = centers_to_y_ifaces(vcart)  # (.., 3, Y+1, X)
     tend_u = jnp.sum(cy * bcast_k(grid.es1, cy), axis=-3)
     cx = centers_to_x_ifaces(vcart)  # (.., 3, Y, X+1)

@@ -73,9 +73,14 @@ class ShallowConvectionConfig:
     max_depth_pa: float = 3.5e4  #: shallow-only cap on cloud depth [Pa]
     max_subcloud_m: float = 2500.0  #: plume must saturate within this height
     max_cin: float = 25.0        #: negative-buoyancy work the plume survives [J/kg]
-    cfl_limit: float = 0.9       #: cap on g*M*dt/dp per layer
+    cfl_limit: float = 0.5       #: cap on g*M*dt/dp per layer
     detrain_liquid: bool = True  #: detrained water in cloudy layers -> ql
     mix_momentum: bool = True    #: transport A-grid winds with the plume
+    #: convective-momentum-transport reduction: in-plume pressure-gradient
+    #: forces keep updraft momentum closer to the environment than a
+    #: conserved-tracer plume would (GFS pgcon; Han & Pan 2011 use 0.55).
+    #: The plume wind is relaxed toward the environment by this fraction.
+    pgcon: float = 0.55
     #: prescribed kinematic surface fluxes for the closure (idealized runs
     #: have no LSM; an LSM/sea-ice surface can pass arrays to sas_step):
     sensible_heat_flux: float = 0.0  #: w'T' [K m/s]
@@ -318,8 +323,13 @@ def sas_step(ua, va, t, qv, ql, pe, p_mid, delp, dt: float,
     ql_new = ql + dql
 
     if cfg.mix_momentum:
-        u_dt = flux_div(sel(u_u, ua), ua)
-        v_dt = flux_div(sel(v_u, va), va)
+        # pgcon: plume momentum partially equilibrated with the environment
+        # by in-cloud pressure-gradient forces (Han & Pan 2011) — this both
+        # matches GFS physics and damps the explicit CMT update
+        u_mix = sel(u_u, ua) * (1.0 - cfg.pgcon) + ua * cfg.pgcon
+        v_mix = sel(v_u, va) * (1.0 - cfg.pgcon) + va * cfg.pgcon
+        u_dt = flux_div(u_mix, ua)
+        v_dt = flux_div(v_mix, va)
     else:
         u_dt = jnp.zeros_like(ua)
         v_dt = jnp.zeros_like(va)
