@@ -254,9 +254,18 @@ class Driver:
             if self.config.performance_config.collect_communication
             else STAGES
         )
-        self.performance.stage_device_seconds = profile_stage_times(
+        stage_times = profile_stage_times(
             self.dycore._step, state, self.dycore.grid, stages=stages
         )
+        if self.physics is not None:
+            phys_stages = ("Radiation", "Surface", "PBL", "DeepConvection",
+                           "ShallowConvection", "Microphysics")
+            t = jnp.asarray(self.time_seconds, dtype=jnp.float32)
+            stage_times.update(profile_stage_times(
+                self.physics._call, self.state, self.physics.surface_state,
+                t, stages=phys_stages,
+            ))
+        self.performance.stage_device_seconds = stage_times
 
     def _check_pair(self):
         import numpy as np

@@ -338,59 +338,69 @@ class Physics:
                 gray_radiation_step_fluxes, sw_down_surface,
             )
 
-            sinlat = jnp.clip(
-                self.grid.f0 / (2.0 * constants.OMEGA), -1.0, 1.0
-            )
-            t_surf = None
-            if sfc is not None:
-                t_surf = self._surface[3](sfc)
-            pt_new, lw_dn_sfc = gray_radiation_step_fluxes(
-                state.pt, state.pkz, state.pe, state.ps,
-                sinlat * sinlat, self.timestep, self.radiation_config,
-                t_surf=t_surf, qv=state.q[:, _IQ["qvapor"]],
-            )
-            sw_dn_sfc = jnp.broadcast_to(
-                sw_down_surface(
-                    sinlat * sinlat, self.radiation_config,
-                    lat=self.grid.lat_agrid, lon=self.grid.lon_agrid,
-                    time_seconds=time_seconds,
-                ),
-                state.ps.shape,
-            )
-            state = dataclasses.replace(state, pt=pt_new)
+            with jax.named_scope("Radiation"):
+                sinlat = jnp.clip(
+                    self.grid.f0 / (2.0 * constants.OMEGA), -1.0, 1.0
+                )
+                t_surf = None
+                if sfc is not None:
+                    t_surf = self._surface[3](sfc)
+                pt_new, lw_dn_sfc = gray_radiation_step_fluxes(
+                    state.pt, state.pkz, state.pe, state.ps,
+                    sinlat * sinlat, self.timestep, self.radiation_config,
+                    t_surf=t_surf, qv=state.q[:, _IQ["qvapor"]],
+                )
+                sw_dn_sfc = jnp.broadcast_to(
+                    sw_down_surface(
+                        sinlat * sinlat, self.radiation_config,
+                        lat=self.grid.lat_agrid, lon=self.grid.lon_agrid,
+                        time_seconds=time_seconds,
+                    ),
+                    state.ps.shape,
+                )
+                state = dataclasses.replace(state, pt=pt_new)
         # --- interactive lower boundary: LSM / sea ice produce the surface
         # fluxes that drive the PBL and shallow convection
         shf = lhf = None
         if sfc is not None:
-            forcing = self._surface_forcing(state, sw_dn_sfc, lw_dn_sfc, sfc)
-            fluxes, sfc = self._surface[2](forcing, sfc, self.timestep)
-            shf = fluxes["sensible_heat_flux"]
-            lhf = fluxes["latent_heat_flux"]
+            with jax.named_scope("Surface"):
+                forcing = self._surface_forcing(
+                    state, sw_dn_sfc, lw_dn_sfc, sfc
+                )
+                fluxes, sfc = self._surface[2](forcing, sfc, self.timestep)
+                shf = fluxes["sensible_heat_flux"]
+                lhf = fluxes["latent_heat_flux"]
         if "GFS_PBL" in self.schemes:
-            state = self._pbl(state, shf, lhf)
+            with jax.named_scope("PBL"):
+                state = self._pbl(state, shf, lhf)
         conv_precip = None
         if "GFS_deep_convection" in self.schemes:
-            state, conv_precip = self._sas(state, self.deep_config, shf, lhf)
+            with jax.named_scope("DeepConvection"):
+                state, conv_precip = self._sas(
+                    state, self.deep_config, shf, lhf
+                )
         if "GFS_shallow_convection" in self.schemes:
-            state, _ = self._sas(state, self.sas_config, shf, lhf)
+            with jax.named_scope("ShallowConvection"):
+                state, _ = self._sas(state, self.sas_config, shf, lhf)
         if "GFS_microphysics" not in self.schemes:
             if sfc is not None and conv_precip is not None:
                 sfc = dataclasses.replace(sfc, precip=conv_precip)
             return state, sfc
         phy = dycore_to_physics(state)
-        qv, ql, qi, qr, qs, qg, t, precip = microphysics_step(
-            phy.qvapor,
-            phy.qliquid,
-            phy.qice,
-            phy.qrain,
-            phy.qsnow,
-            phy.qgraupel,
-            phy.pt,
-            phy.p_mid,
-            phy.delp,
-            self.timestep,
-            self.config,
-        )
+        with jax.named_scope("Microphysics"):
+            qv, ql, qi, qr, qs, qg, t, precip = microphysics_step(
+                phy.qvapor,
+                phy.qliquid,
+                phy.qice,
+                phy.qrain,
+                phy.qsnow,
+                phy.qgraupel,
+                phy.pt,
+                phy.p_mid,
+                phy.delp,
+                self.timestep,
+                self.config,
+            )
         phy = dataclasses.replace(
             phy, qvapor=qv, qliquid=ql, qice=qi, qrain=qr, qsnow=qs,
             qgraupel=qg, pt=t, precip=precip,
