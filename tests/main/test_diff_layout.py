@@ -87,3 +87,24 @@ def test_scatter_rejects_non_divisible():
     p = CubedSpherePartitioner.from_layout((2, 2))
     with pytest.raises(ValueError, match="divisible"):
         scatter_tiles(np.zeros((6, 4, 13, 13)), p, H)
+
+
+def test_54_shard_layout_invariance():
+    """The reference's signature 54-rank decomposition test (mpirun -n 54,
+    layout (3,3)) run as 54 stacked shards on one host, compared to the
+    6-shard run at C24."""
+    global N
+    n_save = N
+    try:
+        N = 24
+        s11, p11 = _run((1, 1), hydrostatic=True)
+        s33, p33 = _run((3, 3), hydrostatic=True)
+    finally:
+        N = n_save
+    for name in ("delp", "pt", "ps"):
+        a = gather_tiles(getattr(s11, name), p11, H)
+        b = gather_tiles(getattr(s33, name), p33, H)
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10, err_msg=name)
+    au = gather_tiles(s11.u, p11, H, stagger="y_interface")
+    bu = gather_tiles(s33.u, p33, H, stagger="y_interface")
+    np.testing.assert_allclose(au, bu, rtol=1e-10, atol=1e-10, err_msg="u")
