@@ -176,6 +176,13 @@ class DriverConfig:
             "type": "restart",
             "config": {"path": os.path.abspath(path), "start_time_seconds": start_time_seconds},
         }
+        # the serialized dycore config carries the DERIVED fields (npz, ...);
+        # from_dict forbids them inside dycore_config, so strip them to keep
+        # restart.yaml round-trip loadable (the reference's is)
+        dyc = dict(raw.get("dycore_config") or {})
+        for forbidden in ("npx", "npy", "npz", "ntiles", "layout", "dt_atmos"):
+            dyc.pop(forbidden, None)
+        raw["dycore_config"] = dyc
         del copy
         with open(os.path.join(path, "restart.yaml"), "w") as f:
             yaml.safe_dump(_jsonify(raw), f)

@@ -146,6 +146,13 @@ class Driver:
                 halo=self.halo,
             )
             self._maybe_load_surface()
+            # eager surface init so step-0 diagnostics (output_initial_state)
+            # can read precipitation/tskin/... before the first physics call
+            if (self.physics._surface is not None
+                    and self.physics.surface_state is None):
+                self.physics.surface_state = self.physics._surface.init(
+                    self.state.ps.shape, self.state.ps.dtype
+                )
 
         self.diagnostics = config.diagnostics_config.diagnostics_factory(
             self.metric_terms, self.metric_terms.spec.n_halo
@@ -164,7 +171,23 @@ class Driver:
                 chk.compute_domain_only,
             )
 
+        # restart runs resume the simulation clock (reference restart.yaml
+        # carries start_time_seconds; the diurnal solar forcing and output
+        # timestamps must continue, not reset to t=0)
         self.time_seconds = 0.0
+        init = config.initialization
+        if init.type in ("restart", "fortran_restart"):
+            icfg = init.config or {}
+            self.time_seconds = float(icfg.get("start_time_seconds", 0.0))
+            if not self.time_seconds:
+                from .restart import restart_time
+
+                try:
+                    self.time_seconds = restart_time(
+                        icfg.get("path", "RESTART")
+                    )
+                except (OSError, KeyError):
+                    pass
         self._step_count = 0
 
     # ------------------------------------------------------------------
@@ -311,19 +334,15 @@ class Driver:
     def _physics_extras(self):
         """Physics/surface diagnostics (precipitation rate, skin temperature,
         snow/ice/soil state) for yaml `diagnostics_config.names` — fields not
-        living on the DycoreState."""
+        living on the DycoreState. Mixed-surface fields come mask-aware from
+        the scheme (the inactive scheme's state is NaN-filled)."""
         phys = self.physics
         if phys is None or phys.surface_state is None:
             return None
         sfc = phys.surface_state
         extras = {"precipitation": sfc.precip}
         if phys._surface is not None:
-            extras["tskin"] = phys._surface[3](sfc)
-        if sfc.lsm is not None:
-            extras["snow_water_equivalent"] = sfc.lsm.sneqv
-            extras["soil_moisture"] = sfc.lsm.smc[..., 0, :, :]
-        if sfc.ice is not None:
-            extras["h_ice"] = sfc.ice.h_ice
+            extras.update(phys._surface.diagnostics(sfc))
         return extras
 
     def _save_surface(self, path):

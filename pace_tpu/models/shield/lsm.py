@@ -138,12 +138,18 @@ def lsm_step(t1, qv1, wind1, z1, p_sfc, sw_dn, lw_dn, precip,
     sw_abs = (1.0 - albedo) * sw_dn
 
     # snow cover: the latent flux is SUBLIMATION (lv + lf) from the snowpack,
-    # unlimited by soil moisture; bare soil evaporates (lv) with the NOAH
-    # beta moisture stress
+    # not limited by soil moisture but by the snow AVAILABLE this step (a
+    # trace of snow cannot sustain potential-rate sublimation for a whole
+    # dt); bare soil evaporates (lv) with the NOAH beta moisture stress
     lheat = jnp.where(has_snow, lv + constants.HLF, lv)
+    qs0 = saturation_mixing_ratio(state.tskin, p_sfc)
+    evap_pot = rho * ch * jnp.maximum(qs0 - qv1, 0.0)  # [kg/m^2/s]
+    beta_snow = jnp.clip(
+        state.sneqv * 1000.0 / (dt * jnp.maximum(evap_pot, 1e-12)), 0.0, 1.0
+    )
     beta = jnp.where(
         has_snow,
-        1.0,
+        beta_snow,
         jnp.clip(
             (state.smc[..., 0, :, :] - cfg.smcwlt)
             / (cfg.smcref - cfg.smcwlt),

@@ -441,7 +441,7 @@ def apply_wind_tendencies(u, v, u_dt, v_dt, grid, dt: float, halo=None):
     if halo is not None:
         vcart = halo.update_scalar(vcart, stagger="center")
     else:
-        h = constants.N_HALO_DEFAULT
+        h = grid.n_halo
         ny, nx = vcart.shape[-2], vcart.shape[-1]
         iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
         ix = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)

@@ -88,8 +88,7 @@ class ShallowConvectionConfig:
     #: --- deep mode only:
     min_depth_pa: float = 1.5e4  #: deep gate: cloud at least this thick [Pa]
     rain_conversion: float = 2.0e-3  #: plume ql -> rain per meter of ascent
-    c_deep: float = 0.02         #: Mb = c_deep * rho_b * sqrt(CAPE)
-    tau_cape: float = 3600.0     #: CAPE relaxation timescale [s]
+    c_deep: float = 0.02         #: Mb = c_deep * rho_b * sqrt(2*CAPE)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,10 +63,32 @@ class SurfaceState:
     ice: Optional[object] = None
 
 
+@dataclasses.dataclass(frozen=True)
+class SurfaceScheme:
+    """Resolved surface scheme: construction, stepping and readout hooks.
+
+    Indexable like the former (cfg, init, step, tskin) tuple for backward
+    compatibility; ``diagnostics(sfc)`` returns the per-point diagnostic dict
+    (mask-aware for the mixed type: the inactive scheme's state is NaN-filled
+    so plots/outputs don't show meaningless values)."""
+
+    cfg: object
+    init: object      #: (shape, dtype) -> SurfaceState
+    step: object      #: (forcing, SurfaceState, dt) -> (fluxes, SurfaceState)
+    tskin: object     #: SurfaceState -> (.., Y, X) radiative skin temperature
+    diagnostics: object  #: SurfaceState -> dict of (.., Y, X) fields
+
+    def __iter__(self):
+        return iter((self.cfg, self.init, self.step, self.tskin))
+
+    def __getitem__(self, i):
+        return (self.cfg, self.init, self.step, self.tskin)[i]
+
+
 def build_surface(cfg: SurfaceConfig, grid=None):
-    """Resolve (scheme_config, init_fn, step_fn, tskin_fn) for the configured
-    type; returns None for type 'none'. ``grid`` supplies the latitude (via
-    the Coriolis parameter) for the 'mixed' land mask."""
+    """Resolve the SurfaceScheme for the configured type; returns None for
+    type 'none'. ``grid`` supplies the latitude (via the Coriolis parameter)
+    for the 'mixed' land mask."""
     if cfg.type == "none":
         return None
     if cfg.type == "mixed":
@@ -94,7 +116,14 @@ def build_surface(cfg: SurfaceConfig, grid=None):
         def tskin(sfc: SurfaceState):
             return sfc.lsm.tskin
 
-        return scheme_cfg, init, step, tskin
+        def diagnostics(sfc: SurfaceState):
+            return {
+                "tskin": sfc.lsm.tskin,
+                "snow_water_equivalent": sfc.lsm.sneqv,
+                "soil_moisture": sfc.lsm.smc[..., 0, :, :],
+            }
+
+        return SurfaceScheme(scheme_cfg, init, step, tskin, diagnostics)
     if cfg.type == "seaice":
         from ...utils.registry import from_dict
         from .seaice import SeaIceConfig, SeaIceState, seaice_step
@@ -118,7 +147,14 @@ def build_surface(cfg: SurfaceConfig, grid=None):
         def tskin(sfc: SurfaceState):
             return sfc.ice.tsfc
 
-        return scheme_cfg, init, step, tskin
+        def diagnostics(sfc: SurfaceState):
+            return {
+                "tskin": sfc.ice.tsfc,
+                "h_ice": sfc.ice.h_ice,
+                "sst": sfc.ice.sst,
+            }
+
+        return SurfaceScheme(scheme_cfg, init, step, tskin, diagnostics)
     raise ValueError(
         f"unknown surface type {cfg.type!r}; expected none|land|seaice|mixed"
     )
@@ -178,4 +214,24 @@ def _build_mixed(cfg: SurfaceConfig, grid):
             land_mask(sfc.lsm.tskin), sfc.lsm.tskin, sfc.ice.tsfc
         )
 
-    return (lsm_cfg, ice_cfg), init, step, tskin
+    def diagnostics(sfc: SurfaceState):
+        # the inactive scheme's state is meaningless at a point: NaN-fill it
+        # so diagnostics show only where each scheme actually acts
+        mask = land_mask(sfc.lsm.tskin)
+        nan = jnp.nan
+
+        def on_land(x):
+            return jnp.where(mask, x, nan)
+
+        def on_sea(x):
+            return jnp.where(mask, nan, x)
+
+        return {
+            "tskin": tskin(sfc),
+            "snow_water_equivalent": on_land(sfc.lsm.sneqv),
+            "soil_moisture": on_land(sfc.lsm.smc[..., 0, :, :]),
+            "h_ice": on_sea(sfc.ice.h_ice),
+            "sst": on_sea(sfc.ice.sst),
+        }
+
+    return SurfaceScheme((lsm_cfg, ice_cfg), init, step, tskin, diagnostics)

@@ -268,3 +268,64 @@ def test_physics_diagnostics_in_output(tmp_path):
             assert np.isfinite(np.asarray(f[name])).all(), name
         ts = np.asarray(f["tskin"])
         assert 200.0 < ts.min() and ts.max() < 350.0
+
+
+def test_output_initial_state_with_physics_diagnostics(tmp_path):
+    """Step-0 diagnostics of physics/surface names must work (surface state
+    is initialized eagerly by the driver)."""
+    import h5py
+
+    from pace_tpu.driver.config import DriverConfig
+    from pace_tpu.driver.driver import Driver
+
+    cfg = DriverConfig.from_dict({
+        "nx_tile": 12, "nz": 8, "layout": [1, 1], "dt_atmos": 300.0,
+        "minutes": 5,
+        "dycore_config": {"k_split": 1, "n_split": 2, "hydrostatic": True},
+        "physics_config": {
+            "schemes": ["gray_radiation", "GFS_microphysics"],
+            "surface": {"type": "mixed", "land_lat_max": 45.0},
+        },
+        "diagnostics_config": {
+            "path": str(tmp_path / "out"), "output_frequency": 1,
+            "output_initial_state": True,
+            "names": ["ps", "precipitation", "tskin", "h_ice",
+                      "soil_moisture"],
+        },
+        "performance_config": {"experiment_name": str(tmp_path / "e")},
+    })
+    d = Driver(cfg)
+    d.step_all()
+    d.cleanup()
+    with h5py.File(tmp_path / "out" / "diagnostics.h5") as f:
+        hi = np.asarray(f["h_ice"])
+        sm = np.asarray(f["soil_moisture"])
+        # mixed masking: tropics have NaN ice, poles have NaN soil — both
+        # fields must contain some NaN (inactive scheme) and some data
+        assert np.isnan(hi).any() and np.isfinite(hi).any()
+        assert np.isnan(sm).any() and np.isfinite(sm).any()
+
+
+def test_restart_resumes_simulation_clock(tmp_path):
+    from pace_tpu.driver.config import DriverConfig
+    from pace_tpu.driver.driver import Driver
+
+    base = {
+        "nx_tile": 12, "nz": 8, "layout": [1, 1], "dt_atmos": 300.0,
+        "minutes": 10,
+        "dycore_config": {"k_split": 1, "n_split": 2, "hydrostatic": True},
+        "diagnostics_config": {"path": str(tmp_path / "o"),
+                               "output_frequency": 10, "names": ["ps"]},
+        "performance_config": {"experiment_name": str(tmp_path / "e")},
+        "restart_config": {"save_restart": True,
+                           "path": str(tmp_path / "RESTART")},
+    }
+    d = Driver(DriverConfig.from_dict(base))
+    d.step_all()
+    d.cleanup()
+    t_end = d.time_seconds
+    assert t_end == 600.0
+    resumed = Driver(DriverConfig.from_yaml(
+        str(tmp_path / "RESTART" / "restart.yaml")
+    ))
+    assert resumed.time_seconds == t_end
