@@ -163,7 +163,8 @@ class Physics:
     def __init__(self, grid, schemes, timestep: float, config=None,
                  fv_sg_adj: float = 0.0, pbl_config=None,
                  radiation_config=None, sas_config=None,
-                 deep_config=None, surface_config=None, halo=None):
+                 deep_config=None, surface_config=None, halo=None,
+                 checkpointer=None):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -193,6 +194,10 @@ class Physics:
             deep_config = DeepConvectionConfig()
         self.deep_config = deep_config
         self.halo = halo  # for the tendency halo update (None = zero halos)
+        #: optional stage checkpointer (pace_tpu.testing.checkpointer) fired
+        #: at Physics-In/Physics-Out — the reference's physics savepoint
+        #: analog; like the dycore's, checkpointed calls run EAGERLY
+        self.checkpointer = checkpointer
         self.grid = grid
         self.fv_sg_adj = float(fv_sg_adj)
         # interactive lower boundary (surface.py): LSM or sea ice carried as
@@ -209,17 +214,16 @@ class Physics:
     def __call__(self, state: DycoreState,
                  time_seconds: float = 0.0) -> DycoreState:
         t = jnp.asarray(time_seconds, dtype=jnp.float32)
+        call = self._call_impl if self.checkpointer is not None else self._call
         if self._surface is not None:
             if self.surface_state is None:
                 _, init, _, _ = self._surface
                 self.surface_state = init(
                     state.ps.shape, state.ps.dtype
                 )
-            state, self.surface_state = self._call(
-                state, self.surface_state, t
-            )
+            state, self.surface_state = call(state, self.surface_state, t)
             return state
-        state, _ = self._call(state, None, t)
+        state, _ = call(state, None, t)
         return state
 
     def _a_grid_winds(self, state: DycoreState):
@@ -316,6 +320,10 @@ class Physics:
         )
 
     def _call_impl(self, state: DycoreState, sfc, time_seconds=0.0):
+        ckpt = self.checkpointer
+        if ckpt is not None:
+            ckpt("Physics-In", u=state.u, v=state.v, pt=state.pt,
+                 delp=state.delp, q=state.q)
         if self.fv_sg_adj > 0.0:
             pt_adj, q_adj = dry_convective_adjustment(
                 state.pt, state.q, state.delp, self.timestep, self.fv_sg_adj
@@ -385,7 +393,7 @@ class Physics:
         if "GFS_microphysics" not in self.schemes:
             if sfc is not None and conv_precip is not None:
                 sfc = dataclasses.replace(sfc, precip=conv_precip)
-            return state, sfc
+            return self._finish(state, sfc)
         phy = dycore_to_physics(state)
         with jax.named_scope("Microphysics"):
             qv, ql, qi, qr, qs, qg, t, precip = microphysics_step(
@@ -412,7 +420,13 @@ class Physics:
             if conv_precip is not None:
                 rate = rate + conv_precip
             sfc = dataclasses.replace(sfc, precip=rate)
-        return update_atmosphere_state(state, phy), sfc
+        return self._finish(update_atmosphere_state(state, phy), sfc)
+
+    def _finish(self, state, sfc):
+        if self.checkpointer is not None:
+            self.checkpointer("Physics-Out", u=state.u, v=state.v,
+                              pt=state.pt, delp=state.delp, q=state.q)
+        return state, sfc
 
 
 def apply_wind_tendencies(u, v, u_dt, v_dt, grid, dt: float, halo=None):

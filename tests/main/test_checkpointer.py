@@ -101,3 +101,36 @@ def test_threshold_check_semantics():
     t2 = Threshold(absolute=0.0, relative=1e-2)
     assert t2.check("y", np.array([100.0]), np.array([100.5])) is None
     assert t2.check("y", np.array([100.0]), np.array([105.0])) is not None
+
+
+def test_physics_savepoints_record_calibrate_validate(setup, tmp_path):
+    """Physics-In/Physics-Out checkpoints: the reference's physics savepoint
+    suite analog (make physics_savepoint_tests) run through the same
+    record -> calibrate -> validate machinery as the dycore stages."""
+    from pace_tpu.models.shield.physics import Physics
+
+    mt, grid, cfg, state = setup
+    schemes = ("gray_radiation", "GFS_PBL", "GFS_microphysics")
+
+    snap = SnapshotCheckpointer()
+    phys = Physics(grid, schemes, 300.0, checkpointer=snap)
+    phys(state)
+    assert "Physics-In" in snap.data and "Physics-Out" in snap.data
+    assert "pt" in snap.data["Physics-Out"][0]
+
+    calib = ThresholdCalibrationCheckpointer(snap, factor=10.0)
+    phys_c = Physics(grid, schemes, 300.0, checkpointer=calib)
+    for trial in range(3):
+        with calib.trial():
+            phys_c(perturb(state, 1e-13, seed=trial + 1))
+    thresholds = calib.thresholds()
+
+    val = ValidationCheckpointer(snap, thresholds)
+    phys_v = Physics(grid, schemes, 300.0, checkpointer=val)
+    with val.trial():
+        phys_v(perturb(state, 1e-13, seed=7))
+
+    bad = dataclasses.replace(state, pt=state.pt * 1.001)
+    with pytest.raises(ValidationError):
+        with val.trial():
+            phys_v(bad)
