@@ -60,8 +60,27 @@ def _run(config: DriverConfig, checkpointer, state, grid, mt, steps: int):
         grid, mt.halo, config.dycore_config, config.dt_atmos,
         checkpointer=checkpointer,
     )
+    physics = None
+    if config.physics_config.schemes and not config.dycore_only:
+        # physics savepoints (Physics-In/Out) recorded in the same pass —
+        # the reference's physics_savepoint_tests analog
+        from ..models.shield.physics import Physics
+        from ..models.shield.surface import SurfaceConfig
+        from ..utils.registry import from_dict
+
+        pc = config.physics_config
+        physics = Physics(
+            grid, pc.schemes, config.dt_atmos,
+            fv_sg_adj=config.dycore_config.fv_sg_adj,
+            surface_config=from_dict(SurfaceConfig, pc.surface or {}),
+            halo=mt.halo, checkpointer=checkpointer,
+        )
+    t = 0.0
     for _ in range(steps):
         state = core.step_dynamics(state)
+        if physics is not None:
+            state = physics(state, t)
+        t += config.dt_atmos
     return state
 
 
