@@ -43,6 +43,11 @@ class GrayRadiationConfig:
     diurnal: bool = False
     day_length: float = 86400.0     #: solar day [s]
     declination_deg: float = 0.0    #: solar declination (0 = equinox)
+    #: seasonal cycle: declination follows the day of year (t=0 is Jan 1,
+    #: northern winter); overrides declination_deg
+    seasonal: bool = False
+    year_length: float = 365.25 * 86400.0
+    obliquity_deg: float = 23.44
     #: --- interactive water vapor (Byrne & O'Gorman 2013 extension of the
     #: gray scheme): tau built from the simulated humidity instead of the
     #: prescribed latitude profile — the water-vapor LW feedback
@@ -135,13 +140,20 @@ def sw_down_surface(sinlat2, cfg: GrayRadiationConfig,
             and time_seconds is not None:
         import numpy as np
 
-        decl = float(np.radians(cfg.declination_deg))
+        if cfg.seasonal:
+            # declination ~ -obliquity * cos(2*pi*(doy+10)/365) (Jan-1 epoch,
+            # solstice lag ~10 days)
+            phase = 2.0 * jnp.pi * (
+                time_seconds / cfg.year_length + 10.0 / 365.25
+            )
+            decl = -float(np.radians(cfg.obliquity_deg)) * jnp.cos(phase)
+            sin_d, cos_d = jnp.sin(decl), jnp.cos(decl)
+        else:
+            decl = float(np.radians(cfg.declination_deg))
+            sin_d, cos_d = float(np.sin(decl)), float(np.cos(decl))
         # hour angle: solar noon at lon=0 when time mod day = day/2
         hour = 2.0 * jnp.pi * (time_seconds / cfg.day_length) + lon - jnp.pi
-        cosz = (
-            jnp.sin(lat) * float(np.sin(decl))
-            + jnp.cos(lat) * float(np.cos(decl)) * jnp.cos(hour)
-        )
+        cosz = jnp.sin(lat) * sin_d + jnp.cos(lat) * cos_d * jnp.cos(hour)
         return cfg.solar_constant * jnp.maximum(cosz, 0.0)
     p2 = (1.0 - 3.0 * sinlat2) / 4.0
     return cfg.solar_constant / 4.0 * (1.0 + cfg.del_sol * p2)

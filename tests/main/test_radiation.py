@@ -191,3 +191,28 @@ def test_diurnal_cycle_insolation():
     with_t = sw_down_surface(jnp.zeros((2, 3)), off, lat=lat, lon=lon,
                              time_seconds=jnp.asarray(1234.0))
     np.testing.assert_array_equal(np.asarray(base), np.asarray(with_t))
+
+
+def test_seasonal_declination():
+    """Seasonal mode: polar day/night flip between solstices."""
+    from pace_tpu.models.shield.radiation import (
+        GrayRadiationConfig, sw_down_surface,
+    )
+
+    cfg = GrayRadiationConfig(diurnal=True, seasonal=True)
+    lat_n = jnp.full((1, 1), np.radians(80.0))   # high Arctic
+    lon = jnp.zeros((1, 1))
+    half_year = cfg.year_length / 2.0
+    # integrate over one solar day at each season: mean insolation
+    def daily_mean(t0):
+        ts = [t0 + f * cfg.day_length for f in np.linspace(0, 1, 25)[:-1]]
+        return float(sum(
+            sw_down_surface(jnp.zeros((1, 1)), cfg, lat=lat_n, lon=lon,
+                            time_seconds=jnp.asarray(t)).mean()
+            for t in ts
+        ) / len(ts))
+
+    winter = daily_mean(0.0)          # early January: polar night
+    summer = daily_mean(half_year)    # early July: midnight sun
+    assert winter < 1.0
+    assert summer > 100.0
