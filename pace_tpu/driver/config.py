@@ -55,6 +55,7 @@ class PhysicsEnableConfig:
     radiation: Optional[dict] = None
     shallow_convection: Optional[dict] = None
     deep_convection: Optional[dict] = None
+    held_suarez: Optional[dict] = None
     #: interactive lower boundary (surface.py SurfaceConfig fields;
     #: type: none|land|seaice|mixed)
     surface: Optional[dict] = None

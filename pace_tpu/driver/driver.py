@@ -122,6 +122,7 @@ class Driver:
             from ..models.shield.sas import (
                 DeepConvectionConfig, ShallowConvectionConfig,
             )
+            from ..models.shield.held_suarez import HeldSuarezConfig
             from ..models.shield.surface import SurfaceConfig
             from ..utils.registry import from_dict
 
@@ -143,6 +144,9 @@ class Driver:
                     DeepConvectionConfig, pc.deep_convection or {}
                 ),
                 surface_config=from_dict(SurfaceConfig, pc.surface or {}),
+                held_suarez_config=from_dict(
+                    HeldSuarezConfig, pc.held_suarez or {}
+                ),
                 halo=self.halo,
             )
             self._maybe_load_surface()

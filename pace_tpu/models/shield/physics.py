@@ -164,7 +164,7 @@ class Physics:
                  fv_sg_adj: float = 0.0, pbl_config=None,
                  radiation_config=None, sas_config=None,
                  deep_config=None, surface_config=None, halo=None,
-                 checkpointer=None):
+                 checkpointer=None, held_suarez_config=None):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -193,6 +193,11 @@ class Physics:
 
             deep_config = DeepConvectionConfig()
         self.deep_config = deep_config
+        if held_suarez_config is None:
+            from .held_suarez import HeldSuarezConfig
+
+            held_suarez_config = HeldSuarezConfig()
+        self.held_suarez_config = held_suarez_config
         self.halo = halo  # for the tendency halo update (None = zero halos)
         #: optional stage checkpointer (pace_tpu.testing.checkpointer) fired
         #: at Physics-In/Physics-Out — the reference's physics savepoint
@@ -330,12 +335,12 @@ class Physics:
             )
             state = dataclasses.replace(state, pt=pt_adj, q=q_adj)
         if "held_suarez" in self.schemes:
-            from .held_suarez import HeldSuarezConfig, held_suarez_step
+            from .held_suarez import held_suarez_step
 
             p_mid = 0.5 * (state.pe[..., 1:, :, :] + state.pe[..., :-1, :, :])
             u_new, v_new, pt_new = held_suarez_step(
                 state.u, state.v, state.pt, state.pkz, p_mid, state.ps,
-                self.grid.f0, self.timestep, HeldSuarezConfig(),
+                self.grid.f0, self.timestep, self.held_suarez_config,
             )
             state = dataclasses.replace(state, u=u_new, v=v_new, pt=pt_new)
         # --- radiation (also supplies the surface's downward fluxes)
