@@ -48,7 +48,10 @@ def main():
         from pace_tpu.parallel import mesh as M
 
         mesh = M.cube_mesh(n=DEVICES)
-        layout = M.layout_for(DEVICES)
+        layout = M.layout_for(DEVICES, n_tile=N_TILE)
+        # route halo exchanges through shard_map + ppermute (collective
+        # permutes over ICI) instead of GSPMD strip all-gathers
+        M.set_shard_mesh(mesh)
     else:
         mesh, layout = None, (1, 1)
 
@@ -130,6 +133,43 @@ def main():
     gridpoints = 6 * N_TILE * N_TILE * NPZ
     value = gridpoints * STEPS / dt / DEVICES
 
+    # roofline context (VERDICT r1 #10): achieved FLOP/s + HBM bandwidth from
+    # XLA's cost model, and MFU against the chip's known peak — so "fast" is
+    # measured against the hardware, not only against self-history.
+    flops_per_s = hbm_gbps = mfu = None
+    try:
+        # reuse the step's own jitted executable (donation signature and the
+        # persistent compile cache make this a cache hit, not a recompile)
+        compiled = core._step.lower(state, core.grid).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_s = dt / STEPS
+        if ca and ca.get("flops"):
+            flops_per_s = float(ca["flops"]) / step_s / DEVICES
+        if ca and ca.get("bytes accessed"):
+            hbm_gbps = float(ca["bytes accessed"]) / step_s / DEVICES / 1e9
+        # f32 dense peaks (FLOP/s) per chip generation; MXU runs f32 via
+        # bf16x3 passes, so the usable f32 peak is ~1/2 the bf16 number
+        peaks = {
+            "v4": 137.5e12,
+            "v5 lite": 98.5e12,
+            "v5e": 98.5e12,
+            "v5p": 229.5e12,
+            "v6e": 459e12,
+            "v6 lite": 459e12,
+        }
+        kind = jax.devices()[0].device_kind.lower()
+        for key, peak in peaks.items():
+            if key in kind:
+                if flops_per_s:
+                    mfu = flops_per_s / peak
+                break
+    except Exception as e:  # diagnostics only — never break the bench line
+        import sys
+
+        print(f"cost-analysis unavailable: {e!r}", file=sys.stderr)
+
     metric = (
         f"C{N_TILE}_driverloop_gridpoints_per_s_per_chip"
         if PHYSICS
@@ -146,16 +186,19 @@ def main():
                 vs = value / base["value"]
         except Exception:
             pass
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 1),
-                "unit": "gridpoints/s",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+    record = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "gridpoints/s",
+        "vs_baseline": round(vs, 3),
+    }
+    if flops_per_s is not None:
+        record["gflops_per_s"] = round(flops_per_s / 1e9, 2)  # per chip
+    if hbm_gbps is not None:
+        record["hbm_gbps"] = round(hbm_gbps, 2)
+    if mfu is not None:
+        record["mfu"] = round(mfu, 6)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,462 @@
+"""Multi-device halo exchange: shard_map + ppermute over the shard mesh.
+
+Why this module exists: the stacked-shard formulation (halo_slabs.py) reads
+every ghost region as ``strip[perm]`` — a gather along the leading S axis.
+Under GSPMD auto-partitioning XLA lowers each of those gathers to an
+ALL-GATHER of the strip (measured: 90 strip all-gathers per scalar exchange
+on an 8-device mesh, zero collective-permutes). Strip all-gathers move
+``n_devices``× the needed bytes, so ICI traffic would grow linearly with the
+slice size — the exact failure mode VERDICT.md round-1 flagged.
+
+This module compiles the SAME region ops (the table-oracle-verified slab
+geometry from halo_slabs.py) into an explicit SPMD program:
+
+- each device owns a contiguous block of ``k = S / n_devices`` shards;
+- the union of all source rectangles of every region op defines a per-shard
+  "frame" (a few thin strips near the shard edges, ~4·h·n points vs n² for
+  the field);
+- devices exchange only the frames their neighbors actually need, as a
+  static schedule of ``jax.lax.ppermute`` rounds (an edge coloring of the
+  device-to-device needs digraph — partial permutations, so every round is
+  one collective-permute on ICI);
+- all per-device variation (which rows to send, where received frames land,
+  which source row / rotation class each destination shard uses) lives in
+  small constant tables indexed by ``jax.lax.axis_index`` — one program for
+  every device, the SPMD analog of the reference's per-rank HaloUpdater
+  (reference: NDSL ``CubedSphereCommunicator``/HaloUpdater, SURVEY.md §2.2;
+  MPI neighbor send/recv ≙ ppermute rounds; pack/unpack kernels ≙ frame
+  extraction / slab assembly below).
+
+Correctness anchor: the region ops themselves are derived from and verified
+against the pointwise gather-table oracle (halo.py), so this path is exact
+w.r.t. the dense single-device path — asserted by tests/main/test_halo_shardmap.py,
+and the lowering (collective-permute present, all-gather absent) is asserted
+by tests/main/test_hlo_lowering.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import SHARD_AXIS
+
+# ----------------------------------------------------------------------
+# static plan structures (host-side numpy; baked as XLA constants)
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _FieldFrame:
+    """Frame spec for one input field: the union of all source rectangles,
+    decomposed into row-band × column-interval pieces for dense extraction."""
+
+    name: str
+    shape: Tuple[int, int]  # (ny, nx) trailing spatial dims
+    pieces: Tuple[Tuple[int, int, int, int], ...]  # (r0, r1, c0, c1)
+    offset_map: np.ndarray  # (ny, nx) int32, flat frame offset or -1
+    length: int  # frame points for this field
+    base: int  # offset of this field's frame within the packed frame
+
+
+@dataclasses.dataclass(frozen=True)
+class _Round:
+    perm_pairs: Tuple[Tuple[int, int], ...]  # (src_dev, dst_dev)
+    send_sel: np.ndarray  # (n_dev, m) local shard index to send (pad 0)
+    recv_slot: np.ndarray  # (n_dev, m) cache slot for received frame (pad dump)
+
+
+@dataclasses.dataclass(frozen=True)
+class _ClassPlan:
+    flat_idx: np.ndarray  # (rh*rw,) int32 into packed frame
+    rect_shape: Tuple[int, int]  # (rh, rw) pre-rotation
+    rot_k: int
+    sign: float
+
+
+@dataclasses.dataclass(frozen=True)
+class _OpPlan:
+    dst_rect: Tuple[int, int, int, int]
+    row_table: np.ndarray  # (n_dev, k) into combined = [local frames | cache]
+    klass_table: np.ndarray  # (n_dev, k)
+    classes: Tuple[_ClassPlan, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class _OutPlan:
+    name: str
+    src_field: int  # index into the input field list
+    ops: Tuple[_OpPlan, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class _Plan:
+    n_dev: int
+    k: int  # shards per device
+    fields: Tuple[_FieldFrame, ...]
+    total_frame: int
+    rounds: Tuple[_Round, ...]
+    cache_slots: int  # real slots (excl. the dump slot)
+    outs: Tuple[_OutPlan, ...]
+
+
+def _build_frame(name, shape, rects, base) -> _FieldFrame:
+    ny, nx = shape
+    mask = np.zeros((ny, nx), dtype=bool)
+    for r0, r1, c0, c1 in rects:
+        mask[r0:r1, c0:c1] = True
+    # row bands: consecutive rows with identical mask patterns
+    pieces: List[Tuple[int, int, int, int]] = []
+    offset_map = np.full((ny, nx), -1, dtype=np.int64)
+    off = 0
+    r = 0
+    while r < ny:
+        r2 = r + 1
+        while r2 < ny and np.array_equal(mask[r2], mask[r]):
+            r2 += 1
+        row = mask[r]
+        c = 0
+        while c < nx:
+            if row[c]:
+                c2 = c + 1
+                while c2 < nx and row[c2]:
+                    c2 += 1
+                pieces.append((r, r2, c, c2))
+                n = (r2 - r) * (c2 - c)
+                offset_map[r:r2, c:c2] = (
+                    off + np.arange(n).reshape(r2 - r, c2 - c)
+                )
+                off += n
+                c = c2
+            else:
+                c += 1
+        r = r2
+    return _FieldFrame(
+        name=name,
+        shape=shape,
+        pieces=tuple(pieces),
+        offset_map=offset_map,
+        length=off,
+        base=base,
+    )
+
+
+def build_plan(
+    field_shapes: Sequence[Tuple[str, Tuple[int, int]]],
+    outs: Sequence[Tuple[str, str, Sequence]],
+    n_shards: int,
+    n_dev: int,
+) -> _Plan:
+    """Compile region ops (halo_slabs._RegionOp) into a shard_map plan.
+
+    field_shapes: [(field_name, (ny, nx))] — exchange inputs, in order.
+    outs: [(out_name, src_field_name, [region ops])].
+    """
+    if n_shards % n_dev:
+        raise ValueError(f"S={n_shards} not divisible by {n_dev} devices")
+    k = n_shards // n_dev
+    field_names = [f for f, _ in field_shapes]
+
+    # --- frames: union of src rects per field -------------------------
+    rects_by_field: Dict[str, List] = {f: [] for f in field_names}
+    for _out, _src, ops in outs:
+        for op in ops:
+            for c in op.classes:
+                rects_by_field[c.src_comp].append(c.src_rect)
+    frames: List[_FieldFrame] = []
+    base = 0
+    for fname, shape in field_shapes:
+        fr = _build_frame(fname, shape, rects_by_field[fname], base)
+        frames.append(fr)
+        base += fr.length
+    total_frame = base
+    frame_of = {fr.name: fr for fr in frames}
+
+    # --- remote needs per destination device --------------------------
+    remote: List[List[int]] = [[] for _ in range(n_dev)]
+    for _out, _src, ops in outs:
+        for op in ops:
+            for s in range(n_shards):
+                src = int(op.perm[s])
+                d = s // k
+                if src // k != d and src not in remote[d]:
+                    remote[d].append(src)
+    for d in range(n_dev):
+        remote[d].sort()
+    slot = [{r: i for i, r in enumerate(remote[d])} for d in range(n_dev)]
+    cache_slots = max((len(r) for r in remote), default=0)
+    dump = cache_slots  # one extra slot absorbs padding rows
+
+    # --- schedule: edge coloring of the device needs digraph ----------
+    edges: Dict[Tuple[int, int], List[int]] = {}
+    for d in range(n_dev):
+        for r in remote[d]:
+            edges.setdefault((r // k, d), []).append(r)
+    rounds: List[_Round] = []
+    remaining = dict(edges)
+    while remaining:
+        used_src: set = set()
+        used_dst: set = set()
+        round_edges = []
+        for (e, d) in sorted(remaining):
+            if e not in used_src and d not in used_dst:
+                round_edges.append((e, d))
+                used_src.add(e)
+                used_dst.add(d)
+        m = max(len(remaining[ed]) for ed in round_edges)
+        send_sel = np.zeros((n_dev, m), dtype=np.int64)
+        recv_slot = np.full((n_dev, m), dump, dtype=np.int64)
+        for (e, d) in round_edges:
+            shards = remaining.pop((e, d))
+            for j, r in enumerate(shards):
+                send_sel[e, j] = r - e * k
+                recv_slot[d, j] = slot[d][r]
+        rounds.append(
+            _Round(tuple(round_edges), send_sel, recv_slot)
+        )
+
+    # --- per-op tables -------------------------------------------------
+    out_plans: List[_OutPlan] = []
+    for out_name, src_name, ops in outs:
+        op_plans: List[_OpPlan] = []
+        for op in ops:
+            row_table = np.zeros((n_dev, k), dtype=np.int64)
+            for s in range(n_shards):
+                src = int(op.perm[s])
+                d, j = s // k, s % k
+                if src // k == d:
+                    row_table[d, j] = src - d * k
+                else:
+                    row_table[d, j] = k + slot[d][src]
+            klass_table = np.asarray(op.klass_of_shard).reshape(n_dev, k)
+            classes = []
+            for c in op.classes:
+                sr0, sr1, sc0, sc1 = c.src_rect
+                fr = frame_of[c.src_comp]
+                idx = fr.offset_map[sr0:sr1, sc0:sc1]
+                assert (idx >= 0).all(), "class rect escapes its frame"
+                classes.append(
+                    _ClassPlan(
+                        flat_idx=(idx + fr.base).ravel().astype(np.int64),
+                        rect_shape=(sr1 - sr0, sc1 - sc0),
+                        rot_k=c.rot_k,
+                        sign=c.sign,
+                    )
+                )
+            op_plans.append(
+                _OpPlan(op.dst_rect, row_table, klass_table, tuple(classes))
+            )
+        out_plans.append(
+            _OutPlan(out_name, field_names.index(src_name), tuple(op_plans))
+        )
+
+    return _Plan(
+        n_dev=n_dev,
+        k=k,
+        fields=tuple(frames),
+        total_frame=total_frame,
+        rounds=tuple(rounds),
+        cache_slots=cache_slots,
+        outs=tuple(out_plans),
+    )
+
+
+# ----------------------------------------------------------------------
+# execution
+# ----------------------------------------------------------------------
+
+
+def _extract_frames(plan: _Plan, locals_) -> jnp.ndarray:
+    """(k, *C, total_frame) packed frame of every local shard."""
+    parts = []
+    for fr, q in zip(plan.fields, locals_):
+        lead = q.shape[:-2]
+        for r0, r1, c0, c1 in fr.pieces:
+            parts.append(q[..., r0:r1, c0:c1].reshape(lead + ((r1 - r0) * (c1 - c0),)))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _body(plan: _Plan, *locals_):
+    me = jax.lax.axis_index(SHARD_AXIS)
+    allf = _extract_frames(plan, locals_)
+    lead = allf.shape[1:]
+    cache = jnp.zeros((plan.cache_slots + 1,) + lead, dtype=allf.dtype)
+    for rnd in plan.rounds:
+        sel = jnp.asarray(rnd.send_sel)[me]
+        payload = allf[sel]
+        recvd = jax.lax.ppermute(payload, SHARD_AXIS, rnd.perm_pairs)
+        slots = jnp.asarray(rnd.recv_slot)[me]
+        cache = cache.at[slots].set(recvd)
+    combined = jnp.concatenate([allf, cache], axis=0)  # (k+R+1, *C, F)
+
+    outs = []
+    for out in plan.outs:
+        q = locals_[out.src_field]
+        for op in out.ops:
+            rows = jnp.asarray(op.row_table)[me]  # (k,)
+            slab = None
+            for cid, c in enumerate(op.classes):
+                sub = combined[..., jnp.asarray(c.flat_idx)]
+                sub = sub[rows]  # (k, *C, rh*rw)
+                rh, rw = c.rect_shape
+                cand = sub.reshape(sub.shape[:-1] + (rh, rw))
+                if c.rot_k:
+                    cand = jnp.rot90(cand, k=c.rot_k, axes=(-2, -1))
+                if c.sign != 1.0:
+                    cand = cand * c.sign
+                if slab is None:
+                    slab = cand
+                else:
+                    mask = (jnp.asarray(op.klass_table)[me] == cid).reshape(
+                        (-1,) + (1,) * (cand.ndim - 1)
+                    )
+                    slab = jnp.where(mask, cand, slab)
+            r0, r1, c0, c1 = op.dst_rect
+            q = q.at[..., r0:r1, c0:c1].set(slab)
+        outs.append(q)
+    return tuple(outs)
+
+
+class ShardMapHalo:
+    """shard_map/ppermute execution of a SlabHalo's region ops on a mesh.
+
+    One instance per (SlabHalo, mesh-size); plans are cached per exchange
+    signature. Public methods mirror SlabHalo's and are exact drop-ins.
+    """
+
+    def __init__(self, slab, mesh):
+        from .halo_slabs import SlabHalo  # noqa: F401 (type only)
+
+        self.slab = slab
+        self.mesh = mesh
+        self.n_dev = int(mesh.shape[SHARD_AXIS])
+        self._plans: Dict = {}
+
+    # -- helpers ---------------------------------------------------------
+    def _shape_of(self, stagger: str) -> Tuple[int, int]:
+        return self.slab.halo.shard_shape(stagger)
+
+    def _run(self, key, field_shapes, outs_spec, inputs):
+        for (fname, shape), a in zip(field_shapes, inputs):
+            if tuple(a.shape[-2:]) != tuple(shape):
+                raise ValueError(
+                    f"field '{fname}' has trailing shape {a.shape[-2:]}, "
+                    f"expected {shape} for this exchange's stagger"
+                )
+        plan = self._plans.get(key)
+        if plan is None:
+            plan = build_plan(
+                field_shapes, outs_spec, self.slab.halo.n_shards, self.n_dev
+            )
+            self._plans[key] = plan
+        from jax.sharding import PartitionSpec as P
+
+        nf = len(inputs)
+        spec_in = tuple(
+            P(SHARD_AXIS, *([None] * (a.ndim - 1))) for a in inputs
+        )
+        spec_out = tuple(
+            P(SHARD_AXIS, *([None] * (inputs[o.src_field].ndim - 1)))
+            for o in plan.outs
+        )
+        fn = jax.shard_map(
+            lambda *xs: _body(plan, *xs),
+            mesh=self.mesh,
+            in_specs=spec_in,
+            out_specs=spec_out,
+        )
+        return fn(*inputs)
+
+    # -- public API (mirrors SlabHalo) ------------------------------------
+    def update_scalar(self, q, stagger="center", fold="x"):
+        ops = self.slab._scalar_ops_for(stagger, fold)
+        key = ("scalar", stagger, fold, q.ndim, q.shape[1:-2])
+        (out,) = self._run(
+            key, [("q", self._shape_of(stagger))], [("q", "q", ops)], (q,)
+        )
+        return out
+
+    def update_scalars(self, qs, stagger="center", fold="x"):
+        qs = list(qs)
+        if len(qs) == 1:
+            return [self.update_scalar(qs[0], stagger=stagger, fold=fold)]
+        stacked = jnp.stack(qs, axis=1)
+        out = self.update_scalar(stacked, stagger=stagger, fold=fold)
+        return [out[:, i] for i in range(len(qs))]
+
+    def update_scalar_folds(self, q, stagger="center"):
+        ops_x = self.slab._scalar_ops_for(stagger, "x")
+        ops_y = self.slab._scalar_ops_for(stagger, "y")
+        key = ("scalar_folds", stagger, q.ndim, q.shape[1:-2])
+        qx, qy = self._run(
+            key,
+            [("q", self._shape_of(stagger))],
+            [("qx", "q", ops_x), ("qy", "q", ops_y)],
+            (q,),
+        )
+        return qx, qy
+
+    def update_scalars_folds(self, qs, stagger="center"):
+        qs = list(qs)
+        if len(qs) == 1:
+            return [self.update_scalar_folds(qs[0], stagger=stagger)]
+        stacked = jnp.stack(qs, axis=1)
+        ox, oy = self.update_scalar_folds(stacked, stagger=stagger)
+        return [(ox[:, i], oy[:, i]) for i in range(len(qs))]
+
+    def _vector_ops(self, kind, fold):
+        key = (kind, fold)
+        if key not in self.slab._vector_ops:
+            self.slab._vector_ops[key] = self.slab._build_vector_ops(kind, fold)
+        return self.slab._vector_ops[key]
+
+    def _vector_shapes(self, kind):
+        from .halo import _VECTOR_KINDS
+
+        loc_u, _du, loc_v, _dv = _VECTOR_KINDS[kind]
+        return [("u", self._shape_of(loc_u)), ("v", self._shape_of(loc_v))]
+
+    def update_vector(self, u, v, kind="dgrid", fold="x"):
+        ops = self._vector_ops(kind, fold)
+        key = ("vector", kind, fold, u.ndim, u.shape[1:-2])
+        un, vn = self._run(
+            key,
+            self._vector_shapes(kind),
+            [("u", "u", ops["u"]), ("v", "v", ops["v"])],
+            (u, v),
+        )
+        return un, vn
+
+    def update_vector_folds(self, u, v, kind="dgrid"):
+        ops_x = self._vector_ops(kind, "x")
+        ops_y = self._vector_ops(kind, "y")
+        key = ("vector_folds", kind, u.ndim, u.shape[1:-2])
+        ux, vx, uy, vy = self._run(
+            key,
+            self._vector_shapes(kind),
+            [
+                ("ux", "u", ops_x["u"]),
+                ("vx", "v", ops_x["v"]),
+                ("uy", "u", ops_y["u"]),
+                ("vy", "v", ops_y["v"]),
+            ],
+            (u, v),
+        )
+        return (ux, vx), (uy, vy)
+
+    def sync_vector_interfaces(self, u, v, kind="dgrid"):
+        if kind not in self.slab._sync_ops:
+            self.slab._sync_ops[kind] = self.slab._build_sync_ops(kind)
+        ops = self.slab._sync_ops[kind]
+        key = ("sync", kind, u.ndim, u.shape[1:-2])
+        un, vn = self._run(
+            key,
+            self._vector_shapes(kind),
+            [("u", "u", ops["u"]), ("v", "v", ops["v"])],
+            (u, v),
+        )
+        return un, vn

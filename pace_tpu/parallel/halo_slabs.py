@@ -15,8 +15,14 @@ All slab geometry (permutation, rotation, source rectangle, vector component
 mapping and signs) is DERIVED at build time from the pointwise resolution and
 asserted to reproduce it exactly — the tables remain the correctness oracle.
 
-Under jit this is a handful of fused dense ops per region; under a sharded S
-axis XLA lowers the permutation into a collective-permute — the ICI pathway.
+Under jit this is a handful of fused dense ops per region. Under a sharded S
+axis GSPMD lowers the leading-axis permutation to strip ALL-GATHERS (measured:
+90 per scalar exchange at 8 devices) whose bytes scale with the device count —
+so when a multi-device mesh is active (parallel.mesh.set_shard_mesh) every
+public method dispatches to the shard_map + ppermute executor
+(halo_shardmap.py), which moves only neighbor slabs over ICI as
+collective-permutes. The region ops here remain the single source of the
+exchange geometry for both paths.
 """
 
 from __future__ import annotations
@@ -109,6 +115,28 @@ class SlabHalo:
         self._scalar_ops: Dict = {}
         self._vector_ops: Dict = {}
         self._sync_ops: Dict = {}
+        self._shardmap_cache: Dict = {}
+
+    def _shardmap(self):
+        """The shard_map/ppermute executor when a multi-device mesh is
+        active (parallel.mesh.set_shard_mesh) and the shard count divides
+        over it; None otherwise (single-device dense path)."""
+        from .mesh import SHARD_AXIS, get_shard_mesh
+
+        mesh = get_shard_mesh()
+        if mesh is None:
+            return None
+        n_dev = int(mesh.shape.get(SHARD_AXIS, 1))
+        if n_dev <= 1 or self.halo.n_shards % n_dev:
+            return None
+        key = id(mesh)
+        sm = self._shardmap_cache.get(key)
+        if sm is None:
+            from .halo_shardmap import ShardMapHalo
+
+            sm = ShardMapHalo(self, mesh)
+            self._shardmap_cache[key] = sm
+        return sm
 
     # ------------------------------------------------------------------
     # geometry
@@ -367,6 +395,9 @@ class SlabHalo:
 
     @_halo_scope
     def update_scalar(self, q, stagger: str = "center", fold: str = "x"):
+        sm = self._shardmap()
+        if sm is not None:
+            return sm.update_scalar(q, stagger=stagger, fold=fold)
         ops = self._scalar_ops_for(stagger, fold)
         if self._use_pallas():
             from .halo_pallas import exchange_pallas
@@ -388,6 +419,9 @@ class SlabHalo:
         qs = list(qs)
         if len(qs) == 1:
             return [self.update_scalar(qs[0], stagger=stagger, fold=fold)]
+        sm = self._shardmap()
+        if sm is not None:
+            return sm.update_scalars(qs, stagger=stagger, fold=fold)
         if self._use_pallas():
             from .halo_pallas import exchange_pallas_multi
 
@@ -411,6 +445,9 @@ class SlabHalo:
 
     @_halo_scope
     def update_vector(self, u, v, kind: str = "dgrid", fold: str = "x"):
+        sm = self._shardmap()
+        if sm is not None:
+            return sm.update_vector(u, v, kind=kind, fold=fold)
         key = (kind, fold)
         if key not in self._vector_ops:
             self._vector_ops[key] = self._build_vector_ops(kind, fold)
@@ -450,6 +487,9 @@ class SlabHalo:
 
     @_halo_scope
     def update_scalar_folds(self, q, stagger: str = "center"):
+        sm = self._shardmap()
+        if sm is not None:
+            return sm.update_scalar_folds(q, stagger=stagger)
         """(q_xfold, q_yfold). Pallas path: ONE kernel pass reads q once and
         writes both fold results (they differ only in the corner ghost
         regions). XLA path: two independent assemblies — measured on TPU,
@@ -474,6 +514,9 @@ class SlabHalo:
 
     @_halo_scope
     def update_scalars_folds(self, qs, stagger: str = "center"):
+        sm = self._shardmap()
+        if sm is not None:
+            return sm.update_scalars_folds(qs, stagger=stagger)
         """[(qi_xfold, qi_yfold)] for several same-shaped fields, batched."""
         qs = list(qs)
         if len(qs) == 1:
@@ -514,6 +557,9 @@ class SlabHalo:
 
     @_halo_scope
     def update_vector_folds(self, u, v, kind: str = "dgrid"):
+        sm = self._shardmap()
+        if sm is not None:
+            return sm.update_vector_folds(u, v, kind=kind)
         """((u_x, v_x), (u_y, v_y)); Pallas path reads (u, v) once and writes
         all four fold results in one kernel pass."""
         for fold in ("x", "y"):
@@ -640,6 +686,9 @@ class SlabHalo:
         return ops
 
     def sync_vector_interfaces(self, u, v, kind: str = "dgrid"):
+        sm = self._shardmap()
+        if sm is not None:
+            return sm.sync_vector_interfaces(u, v, kind=kind)
         if kind not in self._sync_ops:
             self._sync_ops[kind] = self._build_sync_ops(kind)
         ops = self._sync_ops[kind]

@@ -24,24 +24,69 @@ tests/main/test_multichip.py and the driver-run `dryrun_multichip` gate.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
 SHARD_AXIS = "shard"
 
-_LAYOUTS: Tuple[Tuple[int, int], ...] = (
-    (1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (8, 4), (8, 8), (16, 8), (16, 16),
-)
 
-
-def layout_for(n_devices: int) -> Tuple[int, int]:
+def layout_for(n_devices: int, n_tile: Optional[int] = None) -> Tuple[int, int]:
     """Smallest layout (ly, lx) whose shard count 6*ly*lx divides evenly
-    over ``n_devices`` (each device gets an integer number of shards)."""
-    for ly, lx in _LAYOUTS:
-        if (6 * ly * lx) % n_devices == 0:
-            return ly, lx
-    raise ValueError(f"no cube layout found for {n_devices} devices")
+    over ``n_devices`` (each device gets an integer number of shards).
+
+    Fully general (any device count whose prime factors can be absorbed by
+    6·ly·lx): searches all layouts up to ly,lx = n_devices, minimizing total
+    shards and preferring square layouts. If ``n_tile`` is given, layouts
+    that do not divide the tile extent are skipped (the HaloExchanger
+    divisibility constraint)."""
+    best: Optional[Tuple[int, int, int, int]] = None
+    for ly in range(1, max(2, n_devices) + 1):
+        for lx in range(1, max(2, n_devices) + 1):
+            if (6 * ly * lx) % n_devices:
+                continue
+            if n_tile is not None and (n_tile % ly or n_tile % lx):
+                continue
+            cand = (6 * ly * lx, abs(ly - lx), ly, lx)
+            if best is None or cand < best:
+                best = cand
+    if best is None:
+        raise ValueError(
+            f"no cube layout found for {n_devices} devices"
+            + (f" with n_tile={n_tile}" if n_tile is not None else "")
+        )
+    return best[2], best[3]
+
+
+# ----------------------------------------------------------------------
+# active shard mesh: set by the driver/bench/dryrun before tracing so the
+# halo layer can route exchanges through shard_map + ppermute
+# (halo_shardmap.py) instead of relying on GSPMD's gather lowering.
+# ----------------------------------------------------------------------
+_ACTIVE_MESH = None
+
+
+def set_shard_mesh(mesh) -> None:
+    """Install ``mesh`` (a 1-D jax Mesh over SHARD_AXIS, or None) as the
+    active multi-device mesh for halo exchanges."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_shard_mesh():
+    return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def shard_mesh(mesh):
+    """Scoped form of set_shard_mesh."""
+    prev = _ACTIVE_MESH
+    set_shard_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_shard_mesh(prev)
 
 
 def cube_mesh(devices: Optional[Sequence] = None, n: Optional[int] = None):
