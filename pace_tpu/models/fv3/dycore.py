@@ -237,8 +237,17 @@ class DynamicalCore:
                         * (peln1[..., 1:, :, :] - peln1[..., :-1, :, :])
                     )
                     te1 = total_energy_columns(u, v, w, delp, pt, pkz1, phis)
-                u, v, w, delz, delp, pt, q, pe, peln, pk, pkz, ps = self._remap(
-                    u, v, w, delz, delp, pt, q
+                # Eulerian mid-level pressures at interval start (from the
+                # pre-acoustic delp) for the omga = Dp/Dt diagnostic
+                pe0b = grid.ptop + jnp.cumsum(delp0, axis=-3)
+                top0 = jnp.full_like(pe0b[..., :1, :, :], grid.ptop)
+                pe0 = jnp.concatenate([top0, pe0b], axis=-3)
+                pe_old_mid = 0.5 * (pe0[..., 1:, :, :] + pe0[..., :-1, :, :])
+                (
+                    u, v, w, delz, delp, pt, q, pe, peln, pk, pkz, ps, omga,
+                ) = self._remap(
+                    u, v, w, delz, delp, pt, q,
+                    pe_old_mid=pe_old_mid, mdt=dt_k,
                 )
                 if cfg.consv_te > 0.0:
                     # global total-energy fixer (reference consv_te in the
@@ -306,6 +315,7 @@ class DynamicalCore:
             # extra (K+1)-level fields live in HBM for the whole step
             aux = (
                 pkz,
+                omga,
                 res.mfxd,
                 res.mfyd,
                 res.cxd,
@@ -318,13 +328,14 @@ class DynamicalCore:
             u, v, w, delp, pt, q, delz, aux = k_split_body(
                 u, v, w, delp, pt, q, delz
             )
-            pkz, mfxd, mfyd, cxd, cyd, diss_acc = aux
+            pkz, omga, mfxd, mfyd, cxd, cyd, diss_acc = aux
         else:
             # scan over the k_split outer steps so the (large) acoustic+remap
             # graph is traced/compiled ONCE instead of k_split times — the
             # analog of the reference's dace.nounroll over the mainloop
             # (doc_primer_orchestration.md)
             aux0 = (
+                jnp.zeros_like(delp),
                 jnp.zeros_like(delp),
                 jnp.zeros_like(v),
                 jnp.zeros_like(u),
@@ -350,7 +361,7 @@ class DynamicalCore:
                 None,
                 length=cfg.k_split,
             )
-            pkz, mfxd, mfyd, cxd, cyd, diss_acc = aux
+            pkz, omga, mfxd, mfyd, cxd, cyd, diss_acc = aux
 
         # interface-pressure diagnostics from the final delp (cheap rebuild;
         # identical to what the last remap produced)
@@ -401,6 +412,9 @@ class DynamicalCore:
             cxd=cxd,
             cyd=cyd,
             diss_estd=diss_acc if diss_acc is not None else state.diss_estd,
+            # dp/dt diagnostic from the remap (keep the pytree structure:
+            # only fill when the state carries the field)
+            omga=omga if state.omga is not None else None,
             q_con=(
                 compute_q_con(q, cfg.nwat)
                 if state.q_con is not None
@@ -408,9 +422,17 @@ class DynamicalCore:
             ),
         )
 
-    def _remap(self, u, v, w, delz, delp, pt, q):
+    def _remap(self, u, v, w, delz, delp, pt, q, pe_old_mid=None, mdt=None):
         """Lagrangian -> Eulerian remap of all state (reference ``Remapping``
-        stage; LagrangianToEulerian per SURVEY.md §2.3)."""
+        stage; LagrangianToEulerian per SURVEY.md §2.3). The full kord scheme
+        family is applied per field (kord_mt winds / kord_tm temperature /
+        kord_tr tracers / kord_wz vertical wind — reference
+        baroclinic_c12.yaml:76-79, ops/remapping.vertical_reconstruction).
+
+        ``pe_old_mid``: Eulerian mid-level pressures at the start of this
+        k_split interval — used with ``mdt`` to diagnose omga = Dp/Dt of the
+        Lagrangian surfaces over the interval (reference DycoreState.omga,
+        computed in the remapping stage)."""
         grid = self.grid
         ak = grid.ak
         bk = grid.bk
@@ -422,19 +444,22 @@ class DynamicalCore:
         ps = pe1[..., -1, :, :]
         pe2 = ak[None, :, None, None] + bk[None, :, None, None] * ps[:, None]
 
-        # kord sign convention (reference map_single iv/kord variants):
-        # kord > 0 -> fully monotone PPM; kord < 0 -> unlimited cubic edges
-        # (less diffusive). The reference's production default kord_tm=-9
-        # remaps temperature non-monotonically.
+        omga = None
+        if pe_old_mid is not None and mdt is not None:
+            # hydrostatic pressure velocity: the pressure change a parcel on
+            # Lagrangian layer k experienced over the interval
+            pe1_mid = 0.5 * (pe1[..., 1:, :, :] + pe1[..., :-1, :, :])
+            omga = (pe1_mid - pe_old_mid) / mdt
+
         cfg = self.config
-        pt = remap_field_best(pt, pe1, pe2, cfg.kord_tm >= 0)
+        pt = remap_field_best(pt, pe1, pe2, cfg.kord_tm)
         if w is not None:
-            w = remap_field_best(w, pe1, pe2, cfg.kord_wz >= 0)
+            w = remap_field_best(w, pe1, pe2, cfg.kord_wz)
         if delz is not None:
             # remap the specific volume (delz per unit mass) conservatively,
             # then rebuild the extensive thickness on the new layers
             dp1 = pe1[..., 1:, :, :] - pe1[..., :-1, :, :]
-            sv = remap_field_best(delz / dp1, pe1, pe2, True)
+            sv = remap_field_best(delz / dp1, pe1, pe2, abs(cfg.kord_wz))
             dp2_l = pe2[..., 1:, :, :] - pe2[..., :-1, :, :]
             delz = sv * dp2_l
         # remap tracers one at a time (reference mapn_tracer loops tracers);
@@ -445,12 +470,12 @@ class DynamicalCore:
             # the Pallas kernel grid-blocks over (S, nq) directly — peak VMEM
             # per block is one tracer column block regardless of nq
             q = remap_field_best(
-                q, pe1[:, None], pe2[:, None], cfg.kord_tr >= 0
+                q, pe1[:, None], pe2[:, None], cfg.kord_tr
             )
         else:
             q = jnp.moveaxis(
                 _jax.lax.map(
-                    lambda q1: remap_field(q1, pe1, pe2, cfg.kord_tr >= 0),
+                    lambda q1: remap_field(q1, pe1, pe2, cfg.kord_tr),
                     jnp.moveaxis(q, 1, 0),
                 ),
                 0,
@@ -460,10 +485,10 @@ class DynamicalCore:
         # winds: remap on interface-averaged pressure columns
         pe1_u = pe_at_u_points(pe1)
         pe2_u = pe_at_u_points(pe2)
-        u = remap_field_best(u, pe1_u, pe2_u, cfg.kord_mt >= 0)
+        u = remap_field_best(u, pe1_u, pe2_u, cfg.kord_mt)
         pe1_v = pe_at_v_points(pe1)
         pe2_v = pe_at_v_points(pe2)
-        v = remap_field_best(v, pe1_v, pe2_v, cfg.kord_mt >= 0)
+        v = remap_field_best(v, pe1_v, pe2_v, cfg.kord_mt)
 
         delp = pe2[..., 1:, :, :] - pe2[..., :-1, :, :]
         peln = jnp.log(pe2)
@@ -483,4 +508,4 @@ class DynamicalCore:
             )
             p_full = x ** (1.0 / (1.0 - constants.KAPPA))
             pkz = (p_full / constants.P_REF) ** constants.KAPPA
-        return u, v, w, delz, delp, pt, q, pe2, peln, pk, pkz, ps
+        return u, v, w, delz, delp, pt, q, pe2, peln, pk, pkz, ps, omga

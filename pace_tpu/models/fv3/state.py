@@ -184,6 +184,7 @@ class DycoreState:
             cxd=j(zv),
             cyd=j(zu),
             diss_estd=j(zc),
+            omga=j(zc),
         )
 
 

@@ -73,24 +73,39 @@ def _monotone_limit(q, bl, br):
 
 
 def _positive_limit(q, bl, br):
-    """Positive-definite constraint (Lin 2004 'iv=0' style, simplified):
-    apply the monotone constraint only where the parabola undershoots zero.
+    """Positive-definite constraint (Lin 2004 'iv=0' style): GUARANTEE the
+    cell parabola stays >= 0 where the input mean is >= 0, touching only
+    cells whose parabola undershoots zero.
 
     The cell parabola is p(xi) = aL + dA*xi + A6*xi*(1-xi) with aL = q + bl,
     dA = br - bl, A6 = -3(bl + br); its interior extremum (when it exists,
-    |dA| < |A6|) has value aL + (dA + A6)^2 / (4 A6).
+    |dA| < |A6|) has value aL + (dA + A6)^2 / (4 A6). Delegating to the
+    monotone constraint (the round-1 version) is NOT sufficient when the
+    interface values themselves are out of the data range (unlimited kord
+    9/-9 reconstructions): instead, clamp the interface values to >= 0 and
+    flatten the (rare) cells whose interior vertex still dips below zero.
     """
+
+    def vertex_min(bl_, br_, aL_):
+        da_ = br_ - bl_
+        a6_ = -3.0 * (bl_ + br_)
+        has_vertex = jnp.abs(da_) < jnp.abs(a6_)
+        safe_a6 = jnp.where(a6_ == 0.0, 1e-30, a6_)
+        p_vertex = aL_ + (da_ + a6_) ** 2 / (4.0 * safe_a6)
+        return jnp.where(has_vertex, p_vertex, aL_)
+
     aL = q + bl
     aR = q + br
-    da = br - bl
-    a6 = -3.0 * (bl + br)
-    has_vertex = jnp.abs(da) < jnp.abs(a6)
-    safe_a6 = jnp.where(a6 == 0.0, 1e-30, a6)
-    p_vertex = aL + (da + a6) ** 2 / (4.0 * safe_a6)
-    p_min = jnp.minimum(jnp.minimum(aL, aR), jnp.where(has_vertex, p_vertex, aL))
+    p_min = jnp.minimum(jnp.minimum(aL, aR), vertex_min(bl, br, aL))
     need = p_min < 0.0
-    mbl, mbr = _monotone_limit(q, bl, br)
-    return jnp.where(need, mbl, bl), jnp.where(need, mbr, br)
+    # step 1: interface values >= 0
+    bl1 = jnp.maximum(bl, -q)
+    br1 = jnp.maximum(br, -q)
+    # step 2: flatten cells whose interior vertex still undershoots
+    still_neg = vertex_min(bl1, br1, q + bl1) < 0.0
+    bl1 = jnp.where(still_neg, 0.0, bl1)
+    br1 = jnp.where(still_neg, 0.0, br1)
+    return jnp.where(need, bl1, bl), jnp.where(need, br1, br)
 
 
 def _perturbations(q, hord: int, shift):

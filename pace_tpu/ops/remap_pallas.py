@@ -8,7 +8,8 @@ PPM reconstruction, column integral, interval location and evaluation
 entirely on-chip, and writes the result once — ~4 HBM passes total.
 
 Numerics match pace_tpu.ops.remapping.remap_field (same reconstruction,
-same cumulative-integral evaluation): monotone (CW84-limited) PPM, exact
+same cumulative-integral evaluation and the same kord scheme family via
+remapping.vertical_reconstruction), exact
 conservation, interval location by comparison counting with the bounded-
 offset evaluation window. Dynamic k-indexing goes through VMEM scratch refs
 (Pallas TPU has no value-level dynamic_slice/cumsum lowerings).
@@ -23,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ppm import _al_limited, _al_unlimited, _monotone_limit
+from .remapping import _coerce_kord, vertical_reconstruction
 
 #: max vertical displacement (cells) between source and target interfaces
 D_OFFSET = 5
@@ -32,7 +33,7 @@ D_OFFSET = 5
 def _remap_kernel(
     pe1_ref, pe2_ref, q_ref, out_ref,
     al_s, da_s, a6_s, dp1_s, pe1t_s, q1_s, qdp_s,
-    *, monotone: bool,
+    *, kord: int,
 ):
     pe1 = pe1_ref[0]  # (K1, BY, BX)
     q = q_ref[0]  # (K, BY, BX)
@@ -43,15 +44,9 @@ def _remap_kernel(
     def shift(a, n):
         return jnp.roll(a, -n, axis=0)
 
-    al = _al_limited(q, shift) if monotone else _al_unlimited(q, shift)
-    bl = al - q
-    br = shift(al, 1) - q
-    if monotone:
-        bl, br = _monotone_limit(q, bl, br)
-    kidx = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
-    edge = (kidx <= 1) | (kidx >= K - 2)
-    bl = jnp.where(edge, 0.0, bl)
-    br = jnp.where(edge, 0.0, br)
+    # the SAME kord scheme family as the XLA path (remapping.py); the block's
+    # k axis is axis 0 == axis -3 of (K, BY, BX)
+    bl, br = vertical_reconstruction(q, kord, shift)
 
     # stash the per-cell reconstruction in scratch refs so the j-loop can
     # read them at dynamic k
@@ -106,8 +101,8 @@ def _remap_kernel(
     jax.lax.fori_loop(0, K2 - 1, body, q_top)
 
 
-@functools.partial(jax.jit, static_argnames=("monotone", "interpret"))
-def remap_field_pallas(q, pe1, pe2, monotone: bool = True,
+@functools.partial(jax.jit, static_argnames=("kord", "interpret"))
+def remap_field_pallas(q, pe1, pe2, kord=4,
                        interpret: bool = False):
     """Drop-in for remap_field on TPU: q (..., K, Y, X), pe1/pe2
     (..., K+1, Y, X) -> (..., K2-1, Y, X)."""
@@ -128,7 +123,7 @@ def remap_field_pallas(q, pe1, pe2, monotone: bool = True,
     nx = pl.cdiv(X, BX)
 
     out = pl.pallas_call(
-        functools.partial(_remap_kernel, monotone=monotone),
+        functools.partial(_remap_kernel, kord=_coerce_kord(kord)),
         out_shape=jax.ShapeDtypeStruct((L, K2 - 1, Y, X), q.dtype),
         grid=(L, ny, nx),
         in_specs=[

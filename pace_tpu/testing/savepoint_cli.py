@@ -115,6 +115,11 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_enable_x64", True)
+        # Pallas TPU has no 64-bit lowering: f64 savepoint runs are a host
+        # artifact (the reference generates its savepoint data with the
+        # numpy backend too — SURVEY.md §4.4). Must be set before the first
+        # backend query or the TPU plugin wins.
+        jax.config.update("jax_platforms", "cpu")
     mt, grid, state = _build(config)
 
     if args.cmd == "generate":

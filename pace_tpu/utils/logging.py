@@ -20,13 +20,31 @@ AVAILABLE_LOG_LEVELS = {
 }
 
 
-def _process_index() -> int:
-    try:
-        import jax
+class _LazyProcFormatter(logging.Formatter):
+    """Resolves the process index on the FIRST record, not at import:
+    calling ``jax.process_index()`` at module import would initialize the
+    jax backend before the driver/CLI/tests can choose a platform
+    (e.g. forcing CPU for f64 savepoint generation)."""
 
-        return jax.process_index()
-    except Exception:
-        return 0
+    _proc: int | None = None
+
+    def format(self, record):
+        proc = _LazyProcFormatter._proc
+        if proc is None:
+            try:
+                import jax
+                import jax._src.xla_bridge as _xb
+
+                # only query (and cache) once a backend exists — a query
+                # here must never be the thing that initializes it
+                if _xb._backends:
+                    proc = _LazyProcFormatter._proc = jax.process_index()
+                else:
+                    proc = 0
+            except Exception:
+                proc = _LazyProcFormatter._proc = 0
+        record.proc = proc
+        return super().format(record)
 
 
 def _make_logger() -> logging.Logger:
@@ -38,9 +56,9 @@ def _make_logger() -> logging.Logger:
     if not logger.handlers:
         handler = logging.StreamHandler(sys.stdout)
         handler.setFormatter(
-            logging.Formatter(
+            _LazyProcFormatter(
                 fmt=(
-                    f"%(asctime)s|%(levelname)s|proc {_process_index()}"
+                    "%(asctime)s|%(levelname)s|proc %(proc)s"
                     "|%(name)s:%(message)s"
                 ),
                 datefmt="%Y-%m-%d %H:%M:%S",
