@@ -76,6 +76,7 @@ def _gaussian_blob(mt, center_xyz, width):
     return np.exp(-d2 / width**2)
 
 
+@pytest.mark.slow
 def test_solid_body_rotation_conservation_and_accuracy(c24):
     """Advect a Gaussian blob with a tilted rigid rotation across tile edges:
     tracer mass must be conserved to roundoff and the shape preserved."""

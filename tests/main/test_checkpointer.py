@@ -36,6 +36,7 @@ def setup():
     return mt, grid, cfg, state
 
 
+@pytest.mark.slow
 def test_record_calibrate_validate(setup, tmp_path):
     mt, grid, cfg, state = setup
 

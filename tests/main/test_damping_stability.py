@@ -53,6 +53,7 @@ def test_delnflux_f32_no_overflow(mt_c24):
     )
 
 
+@pytest.mark.slow
 def test_nonhydro_production_damping_stable_f32(mt_c24):
     """Short nonhydrostatic run with the reference's full damping flag set
     (nord=3, d4_bg=0.15, dddmp, vorticity damping, d_con heating, Rayleigh,

@@ -17,6 +17,8 @@ from pace_tpu.models.fv3.state import DycoreState
 from pace_tpu.parallel.gather import gather_tiles, scatter_tiles
 from pace_tpu.parallel.partitioner import CubedSpherePartitioner
 
+pytestmark = pytest.mark.slow  # layout invariance: full tier (slow multi-layout compiles); fast-tier analogs: test_halo_shardmap.py, test_multichip.py
+
 N = 12
 NPZ = 6
 H = 3

@@ -93,6 +93,7 @@ def test_driver_runs_and_writes_outputs(short_run):
         assert "lat" in f and "lon" in f
 
 
+@pytest.mark.slow
 def test_restart_roundtrip_bit_exact(short_run):
     """Run 2 steps, save, reload, run 1 more == run 3 steps straight
     (reference driver/tests/mpi/test_restart.py:36-52 analog)."""

@@ -2,6 +2,7 @@
 saturation_adjustment/SatAdjust3d and the Remapping-stage total-energy
 conservation, SURVEY.md §2.3)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +45,7 @@ def test_sat_adjust_evaporates_in_dry_air():
     assert t2 < 290.0  # evaporative cooling
 
 
+@pytest.mark.slow
 def test_dycore_with_consv_te_and_sat_adj_runs():
     mt = MetricTerms.generate(GridSpec(n_tile=12, npz=8, layout=(1, 1)))
     grid = GridData.from_metric_terms(mt, dtype=jnp.float64)

@@ -1,6 +1,7 @@
 """The examples/ scripts stay runnable (reference analog: notebook tests via
 pytest --nbmake, reference Makefile:138-139)."""
 
+import pytest
 import subprocess
 import sys
 import os
@@ -25,6 +26,7 @@ def test_tracer_advection_demo_runs():
     assert "OK" in out.stdout
 
 
+@pytest.mark.slow
 def test_api_tour_runs():
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(

@@ -70,6 +70,7 @@ def test_state_values_physical(restart_state):
     assert (delp_full[:, :, h:-h, :] > 0).all()
 
 
+@pytest.mark.slow
 def test_restarted_state_steps(restart_state):
     from pace_tpu.grid.grid_data import GridData
     from pace_tpu.models.fv3.dycore import DynamicalCore, DynamicalCoreConfig

@@ -3,6 +3,7 @@ pyFV3.GeosDycoreWrapper, tests/main/fv3core/test_init_from_geos.py:87-180;
 ndsl.namelist.Namelist.from_f90nml)."""
 
 import numpy as np
+import pytest
 
 from pace_tpu.utils.namelist import Namelist, parse_f90nml
 
@@ -52,6 +53,7 @@ def test_namelist_to_dycore_config():
     assert cfg.vtdm4 == 0.06
 
 
+@pytest.mark.slow
 def test_geos_wrapper_steps():
     import jax.numpy as jnp
 

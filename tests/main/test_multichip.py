@@ -22,6 +22,7 @@ from pace_tpu.models.fv3.state import DycoreState
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     spec = GridSpec(n_tile=12, npz=6, layout=(2, 2))  # S = 24, 8 devices x 3
     mt = MetricTerms.generate(spec)

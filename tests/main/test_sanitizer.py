@@ -26,6 +26,7 @@ def model():
     return mt, grid, cfg, state
 
 
+@pytest.mark.slow
 def test_clean_run_passes(model):
     mt, grid, cfg, state = model
     san = SanitizerCheckpointer(progress=False)

@@ -35,6 +35,7 @@ def config_path(tmp_path_factory):
     return str(path)
 
 
+@pytest.mark.slow
 def test_generate_calibrate_validate(config_path, tmp_path):
     ref = str(tmp_path / "ref.npz")
     th = str(tmp_path / "thresholds.yaml")

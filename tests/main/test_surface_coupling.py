@@ -4,6 +4,7 @@ sees the interactive skin temperature, surface fluxes drive PBL/convection."""
 
 import dataclasses
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -134,6 +135,7 @@ def test_surface_restart_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_driver_level_surface_restart(tmp_path):
     """Driver with a coupled land surface writes restart_surface_state.h5 and
     a restarted Driver resumes with the saved surface state (not a fresh
@@ -231,6 +233,7 @@ def test_deep_convection_in_coupled_loop():
     assert float(phys.surface_state.precip.min()) >= 0.0
 
 
+@pytest.mark.slow
 def test_physics_diagnostics_in_output(tmp_path):
     """`names: [precipitation, tskin, ...]` resolve from the physics/surface
     state through the driver diagnostics."""
@@ -270,6 +273,7 @@ def test_physics_diagnostics_in_output(tmp_path):
         assert 200.0 < ts.min() and ts.max() < 350.0
 
 
+@pytest.mark.slow
 def test_output_initial_state_with_physics_diagnostics(tmp_path):
     """Step-0 diagnostics of physics/surface names must work (surface state
     is initialized eagerly by the driver)."""
