@@ -95,14 +95,30 @@ class Driver:
             checkpointer=checkpointer,
             donate=not config.pair_debug,
         )
-        # pair_debug: run a second identical model and cross-check every step
-        # (reference pair_debug compares split-comm replicas per stencil call,
-        # driver.py:83-87,403-409; here the replica shares a process and the
-        # comparison granularity is one full step)
+        # pair_debug: run a second identical model and cross-check it at
+        # EVERY checkpointer stage (reference pair_debug compares split-comm
+        # replicas per stencil call, driver.py:83-87,403-409; here the
+        # replica shares a process and a divergence is localized to the
+        # first differing stage/variable/hit — C_SW, D_SW, Tracer2D1L,
+        # Remapping, FVDynamics In/Out). Both replicas run eagerly (stage
+        # checkpointers disable jit, like the reference's no-DaCe limit).
         self.dycore_pair = None
+        self._pair_cmp = None
         if config.pair_debug:
+            from ..testing.checkpointer import (
+                PairStageComparator, SnapshotCheckpointer,
+            )
+
+            pair_snap = SnapshotCheckpointer()
+            self._pair_cmp = PairStageComparator(pair_snap)
+            # rebuild the primary with the recording checkpointer
+            self.dycore = DynamicalCore(
+                self.grid_data, self.halo, config.dycore_config,
+                config.dt_atmos, checkpointer=pair_snap, donate=False,
+            )
             self.dycore_pair = DynamicalCore(
-                self.grid_data, self.halo, config.dycore_config, config.dt_atmos
+                self.grid_data, self.halo, config.dycore_config,
+                config.dt_atmos, checkpointer=self._pair_cmp,
             )
             self.state_pair = self.state
 
@@ -127,12 +143,26 @@ class Driver:
             from ..utils.registry import from_dict
 
             pc = config.physics_config
+            # the sat-adjustment family lives in dycore_config (shared with
+            # the dycore's SatAdjust3d stage, reference
+            # baroclinic_c12.yaml:60-75); explicit physics_config.microphysics
+            # keys override it
+            shared = {
+                k: getattr(config.dycore_config, k)
+                for k in (
+                    "tau_l2v", "tau_v2l", "tau_i2s", "tau_g2v", "ql_gen",
+                    "ql_mlt", "qs_mlt", "qi_lim", "dw_ocean", "dw_land",
+                    "icloud_f", "do_qa",
+                )
+            }
             self.physics = Physics(
                 self.grid_data,
                 pc.schemes if run_physics else (),
                 config.dt_atmos,
                 fv_sg_adj=config.dycore_config.fv_sg_adj,
-                config=from_dict(MicrophysicsConfig, pc.microphysics or {}),
+                config=from_dict(
+                    MicrophysicsConfig, {**shared, **(pc.microphysics or {})}
+                ),
                 pbl_config=from_dict(PBLConfig, pc.pbl or {}),
                 radiation_config=from_dict(
                     GrayRadiationConfig, pc.radiation or {}
@@ -217,6 +247,9 @@ class Driver:
                 )
             for _ in range(n):
                 t0 = _time.perf_counter()
+                if self._pair_cmp is not None:
+                    # fresh stage recording for this step's comparison
+                    self._pair_cmp.begin_step()
                 with self.timer.clock("mainloop"):
                     self.state = self.dycore.step_dynamics(self.state)
                     if self.physics is not None:
@@ -226,6 +259,9 @@ class Driver:
                 # block so per-step timings are honest
                 self.state.u.block_until_ready()
                 if self.dycore_pair is not None:
+                    # the replica's stage checkpointer raises at the FIRST
+                    # diverging stage/variable; the end-of-step full-state
+                    # equality check still runs as the outer net
                     self.state_pair = self.dycore_pair.step_dynamics(
                         self.state_pair
                     )

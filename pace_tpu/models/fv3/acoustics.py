@@ -92,6 +92,13 @@ def acoustic_loop(
     """
     if not config.hydrostatic and (w is None or delz is None):
         raise ValueError("nonhydrostatic mode requires w and delz")
+    use_beta = config.beta != 0.0
+    if use_beta and not config.hydrostatic:
+        raise ValueError(
+            "beta off-centering is implemented for the hydrostatic pressure"
+            " gradient only (the reference's nonhydrostatic perf configs set"
+            " beta: 0.); set beta=0 for nonhydrostatic runs"
+        )
     dt = dt_atmos_k / config.n_split
     dt2 = 0.5 * dt
     ptop = grid.ptop
@@ -101,15 +108,33 @@ def acoustic_loop(
     # phis is constant over the substeps: exchange its halo once here
     phis_folds = halo.update_scalar_folds(phis)
 
+    # beta off-centering (reference dyn_core split PGF, the `beta` namelist
+    # the c192 perf config sets): each substep applies
+    # (1-beta)*PGF(new state) + beta*PGF carried from the previous substep.
+    # The carried increment is seeded with the PGF of the INITIAL state
+    # (one extra evaluation, only when beta != 0 — matching the reference's
+    # beta>0 loop-entry one_grad_p).
+    dugf0 = None
+    if use_beta:
+        delp_h0, pt_h0 = halo.update_scalars([delp, pt], fold="x")
+        _pe0, _pl0, pk0, _pz0, gz0 = hydrostatic_interfaces(
+            delp_h0, pt_h0, phis, ptop
+        )
+        u0p, v0p = one_grad_p(u, v, pk0, gz0, grid, dt)
+        dugf0 = (u0p - u, v0p - v)
+
     def substep(carry, _):
-        u, v, w, delp, pt, delz, acc = carry
+        u, v, w, delp, pt, delz, acc, dugf = carry
         res = _one_substep(
             u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2, ptop,
-            checkpointer=checkpointer, phis_folds=phis_folds,
+            checkpointer=checkpointer, phis_folds=phis_folds, dugf_prev=dugf,
         )
         n_acc = 7 if track_heat else 6
         acc_new = tuple(a + b for a, b in zip(acc, res[6 : 6 + n_acc]))
-        return (res[0], res[1], res[2], res[3], res[4], res[5], acc_new), None
+        dugf_new = res[6 + n_acc] if use_beta else None
+        return (
+            res[0], res[1], res[2], res[3], res[4], res[5], acc_new, dugf_new,
+        ), None
 
     # zero accumulators shaped like one substep's transport quantities
     zx = jnp.zeros_like(v)  # (S, K, Y, X+1) x-interface shaped
@@ -119,12 +144,15 @@ def acoustic_loop(
         acc0 = acc0 + (jnp.zeros_like(delp),)
 
     if config.n_split == 1:
-        (u, v, w, delp, pt, delz, acc), _ = substep(
-            (u, v, w, delp, pt, delz, acc0), None
+        (u, v, w, delp, pt, delz, acc, _dugf), _ = substep(
+            (u, v, w, delp, pt, delz, acc0, dugf0), None
         )
     else:
-        (u, v, w, delp, pt, delz, acc), _ = jax.lax.scan(
-            substep, (u, v, w, delp, pt, delz, acc0), None, length=config.n_split
+        (u, v, w, delp, pt, delz, acc, _dugf), _ = jax.lax.scan(
+            substep,
+            (u, v, w, delp, pt, delz, acc0, dugf0),
+            None,
+            length=config.n_split,
         )
     mfxd, mfyd, cxd, cyd, xfxd, yfxd = acc[:6]
     diss = acc[6] if track_heat else None
@@ -147,9 +175,11 @@ def acoustic_loop(
 
 
 def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
-                 ptop, checkpointer=None, phis_folds=None):
+                 ptop, checkpointer=None, phis_folds=None, dugf_prev=None):
     """One acoustic substep; returns (u, v, w, delp, pt, delz, mfx, mfy, cx,
-    cy, xfx, yfx)."""
+    cy, xfx, yfx[, heat][, (du_pgf, dv_pgf)]). ``dugf_prev``: the previous
+    substep's D-grid pressure-gradient increments when beta off-centering
+    is active (hydrostatic only)."""
     hydro = config.hydrostatic
     # both corner folds from one assembly + corner patches (folds only
     # differ at cube corners — see halo_slabs.update_*_folds)
@@ -235,10 +265,20 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         pt = pt + jnp.clip(d_t, -cap, cap) / pkz_c
 
     delp_h, pt_h = halo.update_scalars([delp, pt], fold="x")
+    dugf_new = None
     if hydro:
         # --- hydrostatic pressure-gradient (forward-backward: new delp/pt)
         _pe, _peln, pk, _pkz, gz = hydrostatic_interfaces(delp_h, pt_h, phis, ptop)
-        u, v = one_grad_p(u, v, pk, gz, grid, dt)
+        if dugf_prev is not None:
+            # beta off-centering: (1-beta)*PGF(new) + beta*PGF(previous)
+            beta = config.beta
+            u2, v2 = one_grad_p(u, v, pk, gz, grid, dt)
+            du, dv = u2 - u, v2 - v
+            u = u + (1.0 - beta) * du + beta * dugf_prev[0]
+            v = v + (1.0 - beta) * dv + beta * dugf_prev[1]
+            dugf_new = (du, dv)
+        else:
+            u, v = one_grad_p(u, v, pk, gz, grid, dt)
     else:
         from ...ops.nonhydro import (
             heights_from_delz,
@@ -302,5 +342,7 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     )
     if heat is not None:
         out = out + (heat,)
+    if dugf_new is not None:
+        out = out + (dugf_new,)
     return out
 

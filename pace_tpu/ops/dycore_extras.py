@@ -79,17 +79,22 @@ def ray_fast(u, v, w, pe_mid, dt: float, ptop: float, rf_cutoff: float, tau: flo
     return u, v, w
 
 
-def neg_adj3(q, delp):
-    """Fill negative tracers by borrowing mass from the layer below, then
-    clip any remainder (reference AdjustNegativeTracerMixingRatio, simplified
-    to a two-pass downward/clip scheme; exactly conservative except for the
-    final clip of column-wide deficits).
+def fillz(q, delp):
+    """Vertical filling of negative tracers by column borrowing (reference
+    ``fillz`` in fv_fill.F90, called from mapn_tracer when the ``fill``
+    namelist flag is set — the function round 1 claimed but did not ship).
 
-    q: (S, nq, K, Y, X); delp: (S, K, Y, X)."""
+    Two-pass scheme: a downward sweep absorbs each layer's deficit into the
+    layer below, then the leftover bottom deficit propagates back up.
+    Exactly conservative in column tracer mass except for the final clip of
+    column-wide deficits (a column that is negative in total cannot be
+    filled from itself).
+
+    q: (.., K, Y, X) with delp broadcastable to it (pass delp[:, None] for
+    a stacked (S, nq, K, Y, X) tracer block)."""
     import jax
 
-    dp = delp[:, None]
-    mass = q * dp  # tracer mass per layer
+    mass = q * delp  # tracer mass per layer
 
     def body(carry, m_k):
         # carry = deficit propagated downward (negative mass to absorb)
@@ -103,44 +108,135 @@ def neg_adj3(q, delp):
     _, m_up_rev = jax.lax.scan(body, deficit, m_down[::-1])
     m_new = jnp.moveaxis(m_up_rev[::-1], 0, -3)
     # any remaining deficit means the whole column is negative; it is clipped
-    return m_new / dp
+    return m_new / jnp.broadcast_to(delp, q.shape)
 
 
-def sat_adjust(pt, qv, ql, p_mid, pkz, dt: float, tau_l2v: float = 300.0,
-               tau_v2l: float = 150.0):
-    """Fast saturation adjustment (reference ``SatAdjust3d`` /
-    saturation_adjustment stencil, do_sat_adj + tau_l2v/tau_v2l params,
+def neg_adj3(q, delp, pt=None, pkz=None, nwat: int = 6):
+    """Adjust negative water species (reference
+    AdjustNegativeTracerMixingRatio / GFDL neg_adj3): balance deficits
+    INSIDE the water families first, then condense/deposit the remainder
+    from vapor with the matching latent heating, and finally column-fill
+    (fillz) + clip whatever is left.
+
+    Order (tracer layout per models.fv3.state.TRACER_NAMES):
+      1. frozen family: negative qi/qs/qg filled from the other frozen
+         species (no phase change);
+      2. remaining frozen deficits deposited from qv (ls heating);
+      3. liquid family: negative ql filled from qr and vice versa;
+      4. remaining liquid deficits condensed from qv (lv heating);
+      5. negative qv evaporated from ql then sublimated from qi (cooling);
+      6. fillz per tracer, then clip.
+
+    ``pt`` (virtual potential temperature) and ``pkz`` enable the latent
+    heating terms; with pt=None the adjustment is mass-only (round-1
+    behavior). Returns (q, pt).
+
+    q: (S, nq, K, Y, X); delp: (S, K, Y, X)."""
+    from .. import constants
+    from ..models.fv3.state import TRACER_NAMES
+
+    iv = TRACER_NAMES.index("qvapor")
+    il = TRACER_NAMES.index("qliquid")
+    ii = TRACER_NAMES.index("qice")
+    ir = TRACER_NAMES.index("qrain")
+    is_ = TRACER_NAMES.index("qsnow")
+    ig = TRACER_NAMES.index("qgraupel")
+
+    qv, ql, qi, qr, qs, qg = (q[:, j] for j in (iv, il, ii, ir, is_, ig))
+    t_abs = None
+    if pt is not None and pkz is not None:
+        t_abs = pt * pkz / (1.0 + constants.ZVIR * qv)
+    lv = constants.HLV
+    ls = constants.HLV + constants.HLF
+    cp = constants.CP_AIR
+
+    def fill_from(neg, donor):
+        """Move min(deficit, donor) from donor into the negative species."""
+        deficit = jnp.maximum(-neg, 0.0)
+        take = jnp.minimum(deficit, jnp.maximum(donor, 0.0))
+        return neg + take, donor - take, take
+
+    # 1. frozen family internal balancing
+    qi, qs, _ = fill_from(qi, qs)
+    qi, qg, _ = fill_from(qi, qg)
+    qs, qg, _ = fill_from(qs, qg)
+    qg, qs, _ = fill_from(qg, qs)
+    # 2. remaining frozen deficits deposit from vapor (ls heating)
+    for name in ("qi", "qs", "qg"):
+        cur = {"qi": qi, "qs": qs, "qg": qg}[name]
+        cur, qv, took = fill_from(cur, qv)
+        if t_abs is not None:
+            t_abs = t_abs + (ls / cp) * took
+        if name == "qi":
+            qi = cur
+        elif name == "qs":
+            qs = cur
+        else:
+            qg = cur
+    # 3. liquid family internal balancing
+    ql, qr, _ = fill_from(ql, qr)
+    qr, ql, _ = fill_from(qr, ql)
+    # 4. remaining liquid deficits condense from vapor (lv heating)
+    ql, qv, took_l = fill_from(ql, qv)
+    qr, qv, took_r = fill_from(qr, qv)
+    if t_abs is not None:
+        t_abs = t_abs + (lv / cp) * (took_l + took_r)
+    # 5. negative vapor evaporates liquid then sublimates ice (cooling)
+    qv, ql, took_e = fill_from(qv, ql)
+    qv, qi, took_s = fill_from(qv, qi)
+    if t_abs is not None:
+        t_abs = t_abs - (lv / cp) * took_e - (ls / cp) * took_s
+
+    q = q.at[:, iv].set(qv).at[:, il].set(ql).at[:, ii].set(qi)
+    q = q.at[:, ir].set(qr).at[:, is_].set(qs).at[:, ig].set(qg)
+    # 6. column fill + clip for every tracer (incl. non-water)
+    q = fillz(q, delp[:, None])
+    if t_abs is not None:
+        pt = t_abs * (1.0 + constants.ZVIR * q[:, iv]) / pkz
+    return q, pt
+
+
+def sat_adjust(pt, qv, ql, qi=None, qr=None, qs=None, qg=None, p_mid=None,
+               pkz=None, dt: float = 0.0, config=None):
+    """Fast saturation adjustment over ALL six water species (reference
+    ``SatAdjust3d`` — the stencil shared between fv_dynamics (do_sat_adj +
+    the tau_l2v/tau_v2l/tau_i2s/ql_gen/ql_mlt/qi_lim family,
+    reference baroclinic_c12.yaml:60-75) and the GFDL microphysics,
     applied during the Remapping stage per SURVEY.md §2.3).
 
-    Relaxes vapor toward liquid saturation with latent heating on the
-    condensation/evaporation timescales. ``pt`` is virtual potential
-    temperature; the adjustment operates on real temperature and rebuilds
-    theta_v with the updated vapor. Returns (pt, qv, ql).
+    Delegates to the SHARED ``fast_saturation_adjustment`` in
+    models/shield/microphysics.py (condensation/evaporation, homogeneous +
+    Bigg freezing, ice melt with ql_mlt cap, vapor deposition/sublimation,
+    Wegener-Bergeron-Findeisen, diagnostic cloud fraction). ``pt`` is
+    virtual potential temperature; the adjustment operates on real
+    temperature and rebuilds theta_v with the updated vapor.
+
+    Returns (pt, qv, ql, qi, qr, qs, qg, qa); qa is None unless
+    ``config.do_qa``. Ice species may be passed as None (hydrostatic
+    vapor/liquid-only configurations) and come back unchanged as None.
     """
     from .. import constants
-    from ..models.shield.microphysics import saturation_mixing_ratio
+    from ..models.shield.microphysics import (
+        MicrophysicsConfig, fast_saturation_adjustment,
+    )
 
-    lv = constants.HLV
-    cp = constants.CP_AIR
+    if config is None:
+        config = MicrophysicsConfig()
+    z = jnp.zeros_like(qv)
+    has_ice = qi is not None
     t = pt * pkz / (1.0 + constants.ZVIR * qv)
-    qsat = saturation_mixing_ratio(t, p_mid)
-    dqsdt = (
-        qsat * 17.502 * 240.97
-        / (jnp.clip(t - 273.15, -80.0, 50.0) + 240.97) ** 2
+    qv2, ql2, qi2, qr2, qs2, qg2, t2, qa = fast_saturation_adjustment(
+        qv, ql,
+        qi if qi is not None else z,
+        qr if qr is not None else z,
+        qs if qs is not None else z,
+        qg if qg is not None else z,
+        t, p_mid, dt, config,
     )
-    excess = (qv - qsat) / (1.0 + (lv / cp) * dqsdt)
-    cond_frac = 1.0 - jnp.exp(-dt / tau_v2l)
-    evap_frac = 1.0 - jnp.exp(-dt / tau_l2v)
-    cond = jnp.where(
-        excess > 0.0,
-        excess * cond_frac,
-        -jnp.minimum(ql, -excess * evap_frac),
-    )
-    qv2 = qv - cond
-    ql2 = ql + cond
-    t2 = t + (lv / cp) * cond
     pt2 = t2 * (1.0 + constants.ZVIR * qv2) / pkz
-    return pt2, qv2, ql2
+    if not has_ice:
+        return pt2, qv2, ql2, None, None, None, None, qa
+    return pt2, qv2, ql2, qi2, qr2, qs2, qg2, qa
 
 
 def cloud_fraction(qv, ql, t, p_mid, rh_crit: float = 0.75,

@@ -126,7 +126,23 @@ def vertical_reconstruction(q, kord: int, shift):
     so that shift(a, 1)[k] == a[k+1].
     """
     akord = abs(int(kord))
-    al = _al_limited(q, shift) if akord <= 8 else _al_unlimited(q, shift)
+    if akord <= 8:
+        al = _al_limited(q, shift)
+    else:
+        al = _al_unlimited(q, shift)
+        # runaway guard (reference cs_profile bounds its "unlimited"
+        # interface estimates too): the interface value may overshoot the
+        # range of the 4-cell stencil the cubic reads by at most that
+        # stencil's own range. A smooth extremum keeps its (small, range-
+        # proportional) overshoot — the low-diffusion property — while the
+        # unbounded amplification mode that made undamped multi-day kord-9
+        # columns blow up (measured: NaN by day 6-8 at C24 without this
+        # clamp or the sponge/Rayleigh set) is removed.
+        qm2, qm1, qp1 = shift(q, -2), shift(q, -1), shift(q, 1)
+        lo = jnp.minimum(jnp.minimum(q, qm1), jnp.minimum(qm2, qp1))
+        hi = jnp.maximum(jnp.maximum(q, qm1), jnp.maximum(qm2, qp1))
+        r = hi - lo
+        al = jnp.clip(al, lo - r, hi + r)
     bl = al - q
     br = shift(al, 1) - q
     bl, br = _one_sided_edges(q, bl, br, clamp=akord <= 8)

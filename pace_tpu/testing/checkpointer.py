@@ -235,3 +235,57 @@ class ThresholdCalibrationCheckpointer:
                 for var in self._abs[stage]
             }
         return SavepointThresholds(savepoints=out)
+
+
+class PairStageComparator:
+    """Per-STAGE replica comparison for the driver's pair_debug mode
+    (reference per-stencil pair compare: two split-comm replicas cross-check
+    data before/after every stencil call, driver/pace/driver/driver.py:83-87,
+    403-409). Round 1 compared replicas once per full step, so a divergence
+    localized only to "somewhere in the step"; this comparator reuses the
+    checkpointer stage hooks (C_SW/D_SW/Tracer2D1L/Remapping/FVDynamics
+    In/Out) to name the first stage, variable, and hit where the replicas
+    disagree.
+
+    Usage: the primary model records stages into a SnapshotCheckpointer;
+    the replica runs with this comparator, which consumes the recording in
+    stage order. Call ``begin_step()`` before each primary step.
+    """
+
+    def __init__(self, snapshot: SnapshotCheckpointer):
+        self.snapshot = snapshot
+        self._idx: Dict[str, int] = {}
+
+    def begin_step(self) -> None:
+        """Clear the previous step's recording (call before the PRIMARY
+        model's step so each step compares against fresh data)."""
+        self.snapshot.data.clear()
+        self._idx.clear()
+
+    def __call__(self, stage: str, **variables):
+        hits = self.snapshot.data.get(stage, [])
+        i = self._idx.get(stage, 0)
+        self._idx[stage] = i + 1
+        if i >= len(hits):
+            raise RuntimeError(
+                f"pair_debug: replica fired stage {stage!r} hit {i} that the"
+                " primary never recorded (control-flow divergence)"
+            )
+        ref = hits[i]
+        for name, val in variables.items():
+            if val is None:
+                continue
+            a = _concrete(val)
+            b = ref.get(name)
+            if b is None:
+                raise RuntimeError(
+                    f"pair_debug: replica stage {stage!r} produced variable"
+                    f" {name!r} the primary did not record"
+                )
+            if not np.array_equal(a, b):
+                d = np.abs(a - b)
+                raise RuntimeError(
+                    f"pair_debug: replica divergence at stage {stage!r},"
+                    f" variable {name!r}, hit {i}:"
+                    f" max|diff|={d.max():.6e} at {np.unravel_index(d.argmax(), d.shape)}"
+                )

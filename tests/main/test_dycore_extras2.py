@@ -21,7 +21,9 @@ def test_sat_adjust_condenses_supersaturation():
     ql = jnp.zeros_like(qv)
     t_target = 285.0
     pt = t_target * (1.0 + constants.ZVIR * qv) / pkz
-    pt2, qv2, ql2 = sat_adjust(pt, qv, ql, p, pkz, dt=600.0)
+    pt2, qv2, ql2, *_ice, _qa = sat_adjust(
+        pt, qv, ql, p_mid=p, pkz=pkz, dt=600.0
+    )
     assert float(qv2[0, 0, 0, 0]) < 0.03  # vapor condensed
     assert float(ql2[0, 0, 0, 0]) > 0.0
     t2 = float((pt2 * pkz / (1.0 + constants.ZVIR * qv2))[0, 0, 0, 0])
@@ -38,7 +40,9 @@ def test_sat_adjust_evaporates_in_dry_air():
     qv = jnp.full((1, 1, 1, 1), 1.0e-4)  # very dry
     ql = jnp.full((1, 1, 1, 1), 1.0e-3)
     pt = 290.0 * (1.0 + constants.ZVIR * qv) / pkz
-    pt2, qv2, ql2 = sat_adjust(pt, qv, ql, p, pkz, dt=600.0)
+    pt2, qv2, ql2, *_ice, _qa = sat_adjust(
+        pt, qv, ql, p_mid=p, pkz=pkz, dt=600.0
+    )
     assert float(qv2[0, 0, 0, 0]) > 1.0e-4
     assert float(ql2[0, 0, 0, 0]) < 1.0e-3
     t2 = float((pt2 * pkz / (1.0 + constants.ZVIR * qv2))[0, 0, 0, 0])
