@@ -99,6 +99,7 @@ def test_driver_null_comm_runs(tmp_path):
     d.cleanup()
 
 
+@pytest.mark.slow  # per-stage localization covered by the fast test below
 def test_driver_pair_debug(tmp_path):
     from pace_tpu.driver.config import DriverConfig
     from pace_tpu.driver.driver import Driver

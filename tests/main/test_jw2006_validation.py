@@ -1,0 +1,84 @@
+"""Jablonowski & Williamson (2006) baroclinic-wave validation at C48 f64 —
+the NON-CIRCULAR correctness anchor (VERDICT r1 missing #5 / item 4).
+
+The reference's "baroclinic" initialization implements the JW2006 test
+case (reference driver/pace/driver/initialization.py:116-124; JRMS2006
+comment in tests/main/fv3core/test_dycore_call.py:110-119). Its evolution
+is published (QJRMS 132, 2006, doi:10.1256/qj.06.12), so these assertions
+tie the numerics to an external truth rather than to this model's own
+golden history:
+
+- the perturbed wave stays quiet through day 4 (ps_min within a few hPa of
+  the initial surface pressure), deepens visibly by day 8, and deepens
+  explosively through days 9-10 (JW06 figs. 7-9; at ~2 deg resolution the
+  day-10 minimum reaches the 950-980 hPa range);
+- the surface low develops in northern mid-latitudes (the perturbation is
+  placed at 40N);
+- the unperturbed jet is an analytic steady state: no wave may develop
+  (ps_min drift stays small and non-growing).
+
+Runtime: ~40+ min on a 4-core CPU host (two 10-day C48 runs), so the test
+is gated behind PACE_TPU_RUN_VALIDATION=1 on top of the slow marker.
+docs/testing.md records the measured curve per round.
+"""
+
+import os
+
+import pytest
+
+RUN = os.environ.get("PACE_TPU_RUN_VALIDATION", "") == "1"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not RUN, reason="set PACE_TPU_RUN_VALIDATION=1 (two 10-day C48 runs)"
+)
+def test_jw2006_baroclinic_wave_c48():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../../tools"))
+    from run_jw2006 import run
+
+    days = {r["day"]: r for r in run(n_tile=48, npz=26, days=10, dt=1200.0,
+                                     perturbation=True, f64=True)}
+    assert all(days[d]["finite"] for d in days), "non-finite fields"
+    p0 = days[1]["ps_min_hpa"]
+    # quiet phase: no deepening beyond the initial adjustment through day 4
+    for d in (2, 3, 4):
+        assert days[d]["ps_min_hpa"] > p0 - 3.0, (d, days[d])
+    # visible growth by day 8
+    assert days[8]["ps_min_hpa"] < days[4]["ps_min_hpa"] - 3.0, (
+        days[4], days[8],
+    )
+    # explosive deepening through days 9-10 (monotone, accelerating)
+    assert days[9]["ps_min_hpa"] < days[8]["ps_min_hpa"] - 2.0
+    assert days[10]["ps_min_hpa"] < days[9]["ps_min_hpa"] - 2.0
+    # published depth band at ~2 deg: well below 985 hPa by day 10
+    assert days[10]["ps_min_hpa"] < 985.0, days[10]
+    # the low lives in northern mid-latitudes
+    for d in (9, 10):
+        assert 25.0 < days[d]["low_lat_deg"] < 85.0, days[d]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not RUN, reason="set PACE_TPU_RUN_VALIDATION=1 (two 10-day C48 runs)"
+)
+def test_jw2006_steady_state_c48():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../../tools"))
+    from run_jw2006 import run
+
+    days = {r["day"]: r for r in run(n_tile=48, npz=26, days=10, dt=1200.0,
+                                     perturbation=False, f64=True)}
+    assert all(days[d]["finite"] for d in days)
+    # the unperturbed analytic steady state develops NO wave: after the
+    # initial discrete adjustment (day 1), ps_min does not deepen further
+    # by more than 3 hPa over 9 more days (JW06 steady-state test; their
+    # good cores hold the jet for 30 days)
+    p1 = days[1]["ps_min_hpa"]
+    for d in range(2, 11):
+        assert days[d]["ps_min_hpa"] > p1 - 3.0, (d, days[d])
+    # and the jet speed stays bounded (no spurious instability)
+    assert days[10]["u_max"] < 60.0, days[10]
