@@ -192,12 +192,16 @@ def main():
         "unit": "gridpoints/s",
         "vs_baseline": round(vs, 3),
     }
+    # XLA cost-analysis covers XLA ops only — Pallas custom-calls report no
+    # cost, so these are LOWER bounds on achieved FLOP/s and HBM traffic
+    # (the hot kernels are Pallas). Honest labels, still useful as roofline
+    # context and for tracking regressions in the XLA-visible part.
     if flops_per_s is not None:
-        record["gflops_per_s"] = round(flops_per_s / 1e9, 2)  # per chip
+        record["xla_gflops_per_s_lb"] = round(flops_per_s / 1e9, 2)
     if hbm_gbps is not None:
-        record["hbm_gbps"] = round(hbm_gbps, 2)
+        record["xla_hbm_gbps_lb"] = round(hbm_gbps, 2)
     if mfu is not None:
-        record["mfu"] = round(mfu, 6)
+        record["mfu_xla_lb"] = round(mfu, 6)
     print(json.dumps(record))
 
 

@@ -118,7 +118,10 @@ def remap_field_pallas(q, pe1, pe2, kord=4,
     pe1f = jnp.broadcast_to(pe1, lead + pe1.shape[-3:]).reshape((L, K1, Y, X))
     pe2f = jnp.broadcast_to(pe2, lead + pe2.shape[-3:]).reshape((L, K2, Y, X))
 
-    BY, BX = 16, 128
+    # (8, 128) = one native f32 tile per k-plane. BY=16 exceeded the 16MB
+    # scoped-vmem stack limit at npz=79 once the kord scheme family grew
+    # the reconstruction's live temporaries (measured 16.08M at C192).
+    BY, BX = 8, 128
     ny = pl.cdiv(Y, BY)
     nx = pl.cdiv(X, BX)
 

@@ -115,8 +115,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_enable_x64", True)
-        if jax.default_backend() != "cpu":
-            jax.config.update("jax_platforms", "cpu")
+        # must precede ANY backend query (the axon sitecustomize force-
+        # registers the TPU plugin; a query locks the platform choice and
+        # Pallas TPU has no 64-bit lowering)
+        jax.config.update("jax_platforms", "cpu")
     run(args.n_tile, args.npz, args.days, args.dt,
         not args.no_perturbation, not args.f32)
     return 0
