@@ -151,6 +151,22 @@ class GridData:
     # edge (edge column/row +- 2)
     edge_band_x: jnp.ndarray  # (S, 1, X+1)
     edge_band_y: jnp.ndarray  # (S, Y+1, 1)
+    # along-edge ghost-correction weights for a2b_ord4 on tile-edge
+    # interface lines (the reference's edge_vect_w/e/s/n metric treatment):
+    # the neighbor tile's cell-center rows are skewed ALONG the edge
+    # relative to this tile's (up to ~0.5 cells near cube corners), so the
+    # ghost column must be interpolated along-edge before the across-edge
+    # average. q_ghost_corrected = w0*ghost + wp*roll(ghost, -1, along) +
+    # wm*roll(ghost, +1, along); valid on tile-edge interface lines only.
+    # ghost_left_x = 1 where the ghost cell is on the LEFT (W edges).
+    a2b_x_w0: jnp.ndarray  # (S, Y, X+1)
+    a2b_x_wp: jnp.ndarray
+    a2b_x_wm: jnp.ndarray
+    a2b_ghost_left_x: jnp.ndarray  # (S, 1, X+1)
+    a2b_y_w0: jnp.ndarray  # (S, Y+1, X)
+    a2b_y_wp: jnp.ndarray
+    a2b_y_wm: jnp.ndarray
+    a2b_ghost_south_y: jnp.ndarray  # (S, Y+1, 1)
 
     # unit local basis 3-vectors (for kink-safe vector interpolation at tile
     # edges and lat-lon wind conversion); component axis FIRST after S so the
@@ -238,6 +254,97 @@ class GridData:
                     if 0 <= jj <= Ys and 0 <= ii <= Xs:
                         corner_masks[kind, s, jj, ii] = 1.0
 
+        # --- a2b edge_vect analog: at a tile-edge interface line the ghost
+        # (neighbor-tile) cell-center rows are skewed ALONG the edge (up to
+        # ~0.5 cells near cube corners — the adjacent face's spacing
+        # differs), so interpolating straight across the kink misplaces the
+        # value by the skew * the along-edge gradient (measured: 30x the
+        # interior a2b error, driving a stationary ~10 hPa cube-corner
+        # surface-pressure anomaly). Correction: interpolate the ghost
+        # column along the edge so the 2-point geodesic midpoint lands on
+        # the interface point. Ghost positions are TRUE neighbor positions
+        # (topology-resolved at generation), so the shift is computable
+        # exactly here.
+        def _gc(a, b):
+            return np.arccos(np.clip(np.sum(a * b, axis=-1), -1.0, 1.0))
+
+        def _edge_vect_weights(c_in, c_gh, p_edge, tangent):
+            """(w0, wp, wm) per along-edge row: ghost-column interpolation
+            weights so that mid(c_in, ghost_interp) sits on the edge line.
+            wp weights roll(ghost, -1) (the next row), wm the previous."""
+            m = c_in + c_gh
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=-1, keepdims=True), 1e-30
+            )
+            delta = np.sum((m - p_edge) * tangent, axis=-1)  # signed, rad
+            npts = c_gh.shape[0]
+            hg_fwd = np.empty(npts)
+            hg_fwd[:-1] = _gc(c_gh[:-1], c_gh[1:])
+            hg_fwd[-1] = hg_fwd[-2]
+            hg_bwd = np.empty(npts)
+            hg_bwd[1:] = hg_fwd[:-1]
+            hg_bwd[0] = hg_bwd[1]
+            # midpoint moves by half the ghost shift: shift = -2*delta
+            t = -2.0 * delta / np.where(delta <= 0.0, hg_fwd, hg_bwd)
+            a = np.clip(np.abs(t), 0.0, 1.0)
+            wp = np.where(t > 0.0, a, 0.0)
+            wm = np.where(t < 0.0, a, 0.0)
+            return 1.0 - a, wp, wm
+
+        ctr = mt.xyz_center  # (S, Ys, Xs, 3)
+        a2b_x_w0 = np.ones((S, Ys, Xs + 1))
+        a2b_x_wp = np.zeros((S, Ys, Xs + 1))
+        a2b_x_wm = np.zeros((S, Ys, Xs + 1))
+        a2b_gl_x = np.zeros((S, 1, Xs + 1))
+        a2b_y_w0 = np.ones((S, Ys + 1, Xs))
+        a2b_y_wp = np.zeros((S, Ys + 1, Xs))
+        a2b_y_wm = np.zeros((S, Ys + 1, Xs))
+        a2b_gs_y = np.zeros((S, Ys + 1, 1))
+        for s in range(S):
+            for ii in range(1, Xs):
+                is_w = edge_w[s, 0, ii] > 0
+                is_e = edge_e[s, 0, ii] > 0
+                if not (is_w or is_e):
+                    continue
+                # tangent along the edge (y direction) at interface points
+                tcol = mt.xyz_corner[s, :, ii]  # (Ys+1, 3)
+                tang = tcol[1:] - tcol[:-1]
+                tang = tang / np.maximum(
+                    np.linalg.norm(tang, axis=-1, keepdims=True), 1e-30
+                )
+                gh_col = ii - 1 if is_w else ii
+                in_col = ii if is_w else ii - 1
+                w0, wp, wm = _edge_vect_weights(
+                    ctr[s, :, in_col], ctr[s, :, gh_col],
+                    mt.xyz_v[s, :, ii], tang,
+                )
+                a2b_x_w0[s, :, ii] = w0
+                a2b_x_wp[s, :, ii] = wp
+                a2b_x_wm[s, :, ii] = wm
+                if is_w:
+                    a2b_gl_x[s, 0, ii] = 1.0
+            for jj in range(1, Ys):
+                is_s = edge_s[s, jj, 0] > 0
+                is_n = edge_n[s, jj, 0] > 0
+                if not (is_s or is_n):
+                    continue
+                trow = mt.xyz_corner[s, jj, :]  # (Xs+1, 3)
+                tang = trow[1:] - trow[:-1]
+                tang = tang / np.maximum(
+                    np.linalg.norm(tang, axis=-1, keepdims=True), 1e-30
+                )
+                gh_row = jj - 1 if is_s else jj
+                in_row = jj if is_s else jj - 1
+                w0, wp, wm = _edge_vect_weights(
+                    ctr[s, in_row, :], ctr[s, gh_row, :],
+                    mt.xyz_u[s, jj, :], tang,
+                )
+                a2b_y_w0[s, jj, :] = w0
+                a2b_y_wp[s, jj, :] = wp
+                a2b_y_wm[s, jj, :] = wm
+                if is_s:
+                    a2b_gs_y[s, jj, 0] = 1.0
+
         # static corner table: same content as corner_masks, grouped by
         # (kind, position) with per-shard ownership flags
         corner_entries = []
@@ -298,6 +405,14 @@ class GridData:
             edge_e_iface=j(edge_e),
             edge_s_iface=j(edge_s),
             edge_n_iface=j(edge_n),
+            a2b_x_w0=j(a2b_x_w0),
+            a2b_x_wp=j(a2b_x_wp),
+            a2b_x_wm=j(a2b_x_wm),
+            a2b_ghost_left_x=j(a2b_gl_x),
+            a2b_y_w0=j(a2b_y_w0),
+            a2b_y_wp=j(a2b_y_wp),
+            a2b_y_wm=j(a2b_y_wm),
+            a2b_ghost_south_y=j(a2b_gs_y),
             edge_band_x=j(_band(edge_w + edge_e, axis=2)),
             edge_band_y=j(_band(edge_s + edge_n, axis=1)),
             ec1=j(np.moveaxis(mt.ec1, -1, 1)),

@@ -119,8 +119,14 @@ def extrapolate_3_to_corner(q, grid, default):
                     continue
                 a2 = a + (1 if a >= 0 else -1)
                 b2 = b + (1 if b >= 0 else -1)
-                ext = 1.5 * _cell_read(q, jj, ii, a, b) - 0.5 * _cell_read(
-                    q, jj, ii, a2, b2
+                a3 = a + (2 if a >= 0 else -2)
+                b3 = b + (2 if b >= 0 else -2)
+                # quadratic one-sided diagonal extrapolation (Lagrange at
+                # the corner of centers at 0.5, 1.5, 2.5 diagonal indices)
+                ext = (
+                    1.875 * _cell_read(q, jj, ii, a, b)
+                    - 1.25 * _cell_read(q, jj, ii, a2, b2)
+                    + 0.375 * _cell_read(q, jj, ii, a3, b3)
                 )
                 acc = ext if acc is None else acc + ext
             out = _set_point(out, acc / 3.0, own, jj, ii)
@@ -133,7 +139,13 @@ def extrapolate_3_to_corner(q, grid, default):
                 continue
             a2 = a + (1 if a >= 0 else -1)
             b2 = b + (1 if b >= 0 else -1)
-            ext = 1.5 * cell_at_corner(q, a, b) - 0.5 * cell_at_corner(q, a2, b2)
+            a3 = a + (2 if a >= 0 else -2)
+            b3 = b + (2 if b >= 0 else -2)
+            ext = (
+                1.875 * cell_at_corner(q, a, b)
+                - 1.25 * cell_at_corner(q, a2, b2)
+                + 0.375 * cell_at_corner(q, a3, b3)
+            )
             acc = ext if acc is None else acc + ext
         mask = _corner_mask(grid, kind, out)
         out = jnp.where(mask > 0.5, acc / 3.0, out)

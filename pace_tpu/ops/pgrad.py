@@ -35,15 +35,97 @@ def a2b_ord4(q, grid=None):
     """4th-order A-grid (cell centers) -> B-grid (corners) interpolation.
 
     Analog of ``pyFV3.stencils.a2b_ord4.AGrid2BGridFourthOrder``. Uniform
-    separable weights; tile-edge halo values are true neighbor values so no
-    one-sided edge variants are required (accuracy degrades to ~2nd order in
-    the 2-cell edge band where the interpolated field kinks). At 3-valent
-    cube corners the separable stencil reads the folded quadrant; there the
+    separable 4th-order weights in the interior. On TILE-EDGE interface
+    lines the two adjacent cell centers straddle the coordinate kink, so
+    index-space interpolation misplaces the value there (measured: 30x the
+    interior error, and the resulting spurious edge PGF drove a stationary
+    ~10 hPa cube-corner surface-pressure anomaly in the JW06 steady state);
+    the across-edge value is instead the great-circle-distance-weighted
+    2-point interpolation (grid.a2b_wx/a2b_wy — the reference's
+    edge_w/edge_vect metric treatment), then the usual 4th-order
+    interpolation ALONG the (smooth) edge. At 3-valent cube corners the
     value is the mean of the 3 one-sided diagonal extrapolations (reference
     a2b_ord4 extrap_corner analog). (.., Y, X) -> (.., Y+1, X+1).
     """
-    out = centers_to_y_ifaces(centers_to_x_ifaces(q))
+    from .stencil_utils import (
+        bcast_k,
+        x_cell_to_left_iface,
+        x_cell_to_right_iface,
+        y_cell_to_left_iface,
+        y_cell_to_right_iface,
+    )
+
+    qx = centers_to_x_ifaces(q)
     if grid is not None:
+        # W/E tile-edge columns: along-edge-corrected ghost + across average
+        q_l = x_cell_to_left_iface(q)
+        q_r = x_cell_to_right_iface(q)
+        gl = bcast_k(grid.a2b_ghost_left_x, qx)
+        ghost = gl * q_l + (1.0 - gl) * q_r
+        inside = gl * q_r + (1.0 - gl) * q_l
+        ghost_t = (
+            bcast_k(grid.a2b_x_w0, qx) * ghost
+            + bcast_k(grid.a2b_x_wp, qx) * jnp.roll(ghost, -1, axis=-2)
+            + bcast_k(grid.a2b_x_wm, qx) * jnp.roll(ghost, 1, axis=-2)
+        )
+        qmx = 0.5 * (inside + ghost_t)
+        ex = bcast_k(grid.edge_w_iface + grid.edge_e_iface, qx)
+        qx = qx + ex * (qmx - qx)
+        # first interior interface next to the edge: its centered 4-pt
+        # stencil reads one ghost center across the kink — replace with the
+        # one-sided cubic from the 4 INSIDE centers (Lagrange at the
+        # interface of uniformly-indexed centers: 5/16, 15/16, -5/16, 1/16)
+        from .stencil_utils import sx
+
+        os_r = (
+            0.3125 * q_l + 0.9375 * q_r
+            - 0.3125 * x_cell_to_right_iface(sx(q, 1))
+            + 0.0625 * x_cell_to_right_iface(sx(q, 2))
+        )
+        os_l = (
+            0.3125 * q_r + 0.9375 * q_l
+            - 0.3125 * x_cell_to_left_iface(sx(q, -1))
+            + 0.0625 * x_cell_to_left_iface(sx(q, -2))
+        )
+        in_w = bcast_k(jnp.roll(grid.edge_w_iface, 1, axis=-1), qx)
+        in_e = bcast_k(jnp.roll(grid.edge_e_iface, -1, axis=-1), qx)
+        qx = qx + in_w * (os_r - qx) + in_e * (os_l - qx)
+    out = centers_to_y_ifaces(qx)
+    if grid is not None:
+        # S/N tile-edge rows: same treatment, then 4th-order along the edge
+        qy = centers_to_y_ifaces(q)
+        q_s = y_cell_to_left_iface(q)
+        q_n = y_cell_to_right_iface(q)
+        gs = bcast_k(grid.a2b_ghost_south_y, qy)
+        ghost = gs * q_s + (1.0 - gs) * q_n
+        inside = gs * q_n + (1.0 - gs) * q_s
+        ghost_t = (
+            bcast_k(grid.a2b_y_w0, qy) * ghost
+            + bcast_k(grid.a2b_y_wp, qy) * jnp.roll(ghost, -1, axis=-1)
+            + bcast_k(grid.a2b_y_wm, qy) * jnp.roll(ghost, 1, axis=-1)
+        )
+        qmy = 0.5 * (inside + ghost_t)
+        ey_line = bcast_k(grid.edge_s_iface + grid.edge_n_iface, qy)
+        qy = qy + ey_line * (qmy - qy)
+        from .stencil_utils import sy
+
+        os_n = (
+            0.3125 * q_s + 0.9375 * q_n
+            - 0.3125 * y_cell_to_right_iface(sy(q, 1))
+            + 0.0625 * y_cell_to_right_iface(sy(q, 2))
+        )
+        os_s = (
+            0.3125 * q_n + 0.9375 * q_s
+            - 0.3125 * y_cell_to_left_iface(sy(q, -1))
+            + 0.0625 * y_cell_to_left_iface(sy(q, -2))
+        )
+        in_s = bcast_k(jnp.roll(grid.edge_s_iface, 1, axis=-2), qy)
+        in_n = bcast_k(jnp.roll(grid.edge_n_iface, -1, axis=-2), qy)
+        qy = qy + in_s * (os_n - qy) + in_n * (os_s - qy)
+        out_y = centers_to_x_ifaces(qy)
+        ey = bcast_k(grid.edge_s_iface + grid.edge_n_iface, out)
+        out = out + ey * (out_y - out)
+
         from .corners import extrapolate_3_to_corner
 
         out = extrapolate_3_to_corner(q, grid, out)
