@@ -203,7 +203,8 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     # --- C-grid half step + its pressure gradient
     if checkpointer is not None:
         checkpointer("C_SW-In", u=u, v=v, delp=delp, pt=pt)
-    cg = c_sw(u_y, v_x, delp_x, pt_x, grid, halo, dt2)
+    with jax.named_scope("C_SW"):
+        cg = c_sw(u_y, v_x, delp_x, pt_x, grid, halo, dt2)
     if checkpointer is not None:
         checkpointer("C_SW-Out", uc=cg.uc, vc=cg.vc, delpc=cg.delpc, ptc=cg.ptc)
     if hydro:
@@ -219,9 +220,10 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         )
         pkz_h = pkz_c
         ws0 = jnp.zeros_like(phis)
-        pe_full_c, _delz_c = riem_solver_c(
-            w_x, delz, cg.ptc, cg.delpc, pkz_h, ws0, dt2, ptop
-        )
+        with jax.named_scope("RiemannC"):
+            pe_full_c, _delz_c = riem_solver_c(
+                w_x, delz, cg.ptc, cg.delpc, pkz_h, ws0, dt2, ptop
+            )
         gz_c = heights_from_delz(delz, phis) * constants.GRAV
         # contour PGF with full pressure in Pa (reference p_grad_c nonhydro)
         uc, vc = p_grad_c(cg.uc, cg.vc, pe_full_c, gz_c, grid, dt2)
@@ -229,7 +231,8 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     (uc_x, vc_x), (uc_y, vc_y) = halo.update_vector_folds(uc, vc, kind="cgrid")
 
     # --- D-grid full step
-    ds: DSWResult = d_sw(
+    with jax.named_scope("D_SW"):
+      ds: DSWResult = d_sw(
         u_y,
         v_x,
         w_x,
@@ -269,16 +272,17 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     if hydro:
         # --- hydrostatic pressure-gradient (forward-backward: new delp/pt)
         _pe, _peln, pk, _pkz, gz = hydrostatic_interfaces(delp_h, pt_h, phis, ptop)
-        if dugf_prev is not None:
-            # beta off-centering: (1-beta)*PGF(new) + beta*PGF(previous)
-            beta = config.beta
-            u2, v2 = one_grad_p(u, v, pk, gz, grid, dt)
-            du, dv = u2 - u, v2 - v
-            u = u + (1.0 - beta) * du + beta * dugf_prev[0]
-            v = v + (1.0 - beta) * dv + beta * dugf_prev[1]
-            dugf_new = (du, dv)
-        else:
-            u, v = one_grad_p(u, v, pk, gz, grid, dt)
+        with jax.named_scope("PGradD"):
+            if dugf_prev is not None:
+                # beta off-centering: (1-beta)*PGF(new) + beta*PGF(previous)
+                beta = config.beta
+                u2, v2 = one_grad_p(u, v, pk, gz, grid, dt)
+                du, dv = u2 - u, v2 - v
+                u = u + (1.0 - beta) * du + beta * dugf_prev[0]
+                v = v + (1.0 - beta) * dv + beta * dugf_prev[1]
+                dugf_new = (du, dv)
+            else:
+                u, v = one_grad_p(u, v, pk, gz, grid, dt)
     else:
         from ...ops.nonhydro import (
             heights_from_delz,
@@ -297,9 +301,12 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         if phis_folds is None:
             phis_folds = halo.update_scalar_folds(phis)
         phis_x, phis_y = phis_folds
-        zh = heights_from_delz(delz, phis_x)
-        zh_y = heights_from_delz(delz_y, phis_y)
-        zh_adv = updatedz_d(zh, zh_y, ds.crx, ds.cry, ds.xfx, ds.yfx, grid, dt)
+        with jax.named_scope("UpdateDZ"):
+            zh = heights_from_delz(delz, phis_x)
+            zh_y = heights_from_delz(delz_y, phis_y)
+            zh_adv = updatedz_d(
+                zh, zh_y, ds.crx, ds.cry, ds.xfx, ds.yfx, grid, dt
+            )
         zs = zh[..., -1:, :, :]
         ws = (zh_adv[..., -1:, :, :] - zs)[..., 0, :, :] / dt
         zh_adv = jnp.concatenate([zh_adv[..., :-1, :, :], zs], axis=-3)
@@ -308,13 +315,29 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         _pe, _peln, pk_h, pkz_h, _gz = hydrostatic_interfaces(
             delp_h, pt_h, phis, ptop
         )
-        w, delz, pp = riem_solver3(w, delz, pt_h, delp_h, pkz_h, ws, dt, ptop)
+        with jax.named_scope("Riemann3"):
+            w, delz, pp = riem_solver3(
+                w, delz, pt_h, delp_h, pkz_h, ws, dt, ptop
+            )
         # the solver's halo columns used garbage ws (fluxes are only valid on
         # the domain); refresh ghosts with owner values before the a2b reads
         w, delz = halo.update_scalars([w, delz], fold="x")
         pp = halo.update_scalar(pp, fold="x")
         gz_if = heights_from_delz(delz, phis_x) * constants.GRAV
-        u, v = nh_p_grad(u, v, pk_h, gz_if, pp, delp_h, grid, dt)
+        with jax.named_scope("PGradD"):
+            from ...ops._dispatch import use_pallas
+
+            if use_pallas("pgrad") and u.dtype == jnp.float32:
+                # fused kernel: all four a2b interpolations + both contour
+                # PGF evaluations in VMEM (~9 HBM passes instead of ~40;
+                # measured 25% of the C192 step in the XLA form)
+                from ...ops.pgrad_pallas import nh_p_grad_pallas
+
+                u, v = nh_p_grad_pallas(
+                    u, v, pk_h, gz_if, pp, delp_h, grid, dt
+                )
+            else:
+                u, v = nh_p_grad(u, v, pk_h, gz_if, pp, delp_h, grid, dt)
     if config.rf_fast and config.tau > 0.0:
         # rf_fast: Rayleigh damping INSIDE the acoustic substep (reference
         # ray_fast runs per-substep in dyn_core when rf_fast=.true.; the

@@ -47,9 +47,19 @@ def swap_xy(a):
 # ---------------------------------------------------------------------------
 
 def _pad(a, axis: int, before: int, after: int):
-    pads = [(0, 0)] * a.ndim
-    pads[axis] = (before, after)
-    return jnp.pad(a, pads, mode="edge")
+    """Edge-replicating pad, written as a concat of slices: identical to
+    jnp.pad(mode="edge") but also lowers inside Pallas TPU kernels (Mosaic
+    has no edge-mode pad; the fused pgrad kernel runs these helpers
+    in-kernel)."""
+    ax = axis % a.ndim
+    first = [slice(None)] * a.ndim
+    first[ax] = slice(0, 1)
+    last = [slice(None)] * a.ndim
+    last[ax] = slice(a.shape[ax] - 1, a.shape[ax])
+    parts = (
+        [a[tuple(first)]] * before + [a] + [a[tuple(last)]] * after
+    )
+    return jnp.concatenate(parts, axis=ax) if len(parts) > 1 else a
 
 
 def x_cell_to_left_iface(g):

@@ -69,7 +69,9 @@ def main():
     out = core.step_dynamics(state)
     jax.block_until_ready(out.u)
 
-    stages = ("HaloExchange", "DynCore", "TracerAdvection", "Remapping")
+    stages = ("HaloExchange", "C_SW", "RiemannC", "D_SW", "UpdateDZ",
+              "Riemann3", "PGradD", "DynCore", "TracerAdvection",
+              "Remapping")
     times = profile_stage_times(core._step, state, core.grid, stages=stages)
     total = sum(times.values()) or 1.0
     rec = {
