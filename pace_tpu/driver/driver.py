@@ -224,6 +224,18 @@ class Driver:
                     pass
         self._step_count = 0
 
+    def grid_indexing(self, shard: int = 0):
+        """Per-shard compute-domain geometry derived from the model's OWN
+        decomposition (reference GridIndexing.from_sizer_and_communicator,
+        driver.py:755-757) — the dsl-layer window users need to write
+        FrozenStencil origin/domain slices against this driver's padded
+        state arrays."""
+        from ..dsl import GridIndexing
+
+        return GridIndexing.from_halo(
+            self.halo, shard, self.config.nz
+        )
+
     # ------------------------------------------------------------------
     def step_all(self):
         import time as _time

@@ -101,6 +101,24 @@ class GridIndexing:
             east_edge=shard_x == layout[1] - 1,
         )
 
+    @classmethod
+    def from_halo(cls, halo, shard: int, nz: int) -> "GridIndexing":
+        """Per-shard geometry from the model's OWN decomposition (a
+        ``parallel.halo.HaloExchanger``) — the single source of truth the
+        driver exposes as ``Driver.grid_indexing(shard)`` so user stencils
+        (FrozenStencil origin/domain windows) index the exact padded arrays
+        the model allocates."""
+        _tile, py, px = halo._shard_info(shard)
+        ly, lx = halo.partitioner.layout
+        return cls(
+            domain=(nz, halo.nsy, halo.nsx),
+            n_halo=halo.n_halo,
+            south_edge=py == 0,
+            north_edge=py == ly - 1,
+            west_edge=px == 0,
+            east_edge=px == lx - 1,
+        )
+
     @property
     def origin_compute(self) -> Tuple[int, int, int]:
         return (0, self.n_halo, self.n_halo)
