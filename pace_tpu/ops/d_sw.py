@@ -175,25 +175,30 @@ def d_sw(
     fl = fvtp2d(delp_x, delp_y, crx, cry, xfx, yfx, grid.area, config.hord_dp)
     mfx, mfy = halo.sync_vector_interfaces(fl.fx, fl.fy, kind="cgrid")
 
-    # sequential per-field transports: a stacked/batched variant was tried
-    # and tripled fvtp2d's transient intermediates, overflowing HBM at C192
-    # npz=79; dispatch overhead is not the bottleneck at production sizes
-    fpt = fvtp2d(
-        pt_x, pt_y, crx, cry, xfx, yfx, grid.area, config.hord_tm,
-        mfx=mfx, mfy=mfy,
+    # pt/vorticity/w share the winds and mass fluxes with the delp transport
+    # above, so they go through ONE fused multi-field kernel that stages
+    # crx/cry/xfx/yfx/area/mfx/mfy in VMEM once (an XLA-stacked batching of
+    # fvtp2d was tried instead and tripled the materialized intermediates,
+    # overflowing HBM at C192 npz=79 — in-VMEM batching has no such cost)
+    trio = [
+        (pt_x, pt_y, config.hord_tm, True),
+        (vort_x, vort_y, config.hord_vt, False),
+    ]
+    if w is not None:
+        trio.append((w_x, w_y, config.hord_vt, True))
+    from .fvtp2d import fvtp2d_multi_best
+
+    fls = fvtp2d_multi_best(
+        trio, crx, cry, xfx, yfx, grid.area, mfx=mfx, mfy=mfy
     )
+    fpt, fv_ = fls[0], fls[1]
     ptfx, ptfy = halo.sync_vector_interfaces(fpt.fx, fpt.fy, kind="cgrid")
-    fv_ = fvtp2d(
-        vort_x, vort_y, crx, cry, xfx, yfx, grid.area, config.hord_vt
-    )
     vfx, vfy = halo.sync_vector_interfaces(fv_.fx, fv_.fy, kind="cgrid")
     wfx = wfy = None
     if w is not None:
-        fw = fvtp2d(
-            w_x, w_y, crx, cry, xfx, yfx, grid.area, config.hord_vt,
-            mfx=mfx, mfy=mfy,
+        wfx, wfy = halo.sync_vector_interfaces(
+            fls[2].fx, fls[2].fy, kind="cgrid"
         )
-        wfx, wfy = halo.sync_vector_interfaces(fw.fx, fw.fy, kind="cgrid")
 
     delp_new = delp + (x_iface_diff(mfx) + y_iface_diff(mfy)) * bcast_k(
         rarea, delp

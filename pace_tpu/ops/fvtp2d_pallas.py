@@ -62,22 +62,29 @@ def _mk_shift(interpret: bool):
     return sx, sy
 
 
-def _fvtp2d_block(qx, qy, crx, cry, xfx, yfx, area, wx, wy, hord, interpret):
+def _fvtp2d_block(
+    qx, qy, crx, cry, xfx, yfx, area, wx, wy, hord, interpret,
+    ra_x=None, ra_y=None,
+):
     """The whole 2-D transport on cell-aligned (.., Y, X) slabs; returns
-    (fx, fy) cell-aligned (interface i at slot i)."""
+    (fx, fy) cell-aligned (interface i at slot i). ``ra_x``/``ra_y`` are the
+    field-independent inner-update denominators — precompute them once when
+    transporting several fields with the same winds."""
     sx, sy = _mk_shift(interpret)
     fy1 = ppm._flux_1d(qy, cry, hord, sy)
     fx1 = ppm._flux_1d(qx, crx, hord, sx)
 
     # x-flux branch: inner y-advection of qy, then outer x-PPM
     gy = yfx * fy1
-    ra_y = area + (yfx - sy(yfx, 1))
+    if ra_y is None:
+        ra_y = area + (yfx - sy(yfx, 1))
     q_i = (qy * area + (gy - sy(gy, 1))) / ra_y
     fx = 0.5 * (ppm._flux_1d(q_i, crx, hord, sx) + fx1) * wx
 
     # y-flux branch: inner x-advection of qx, then outer y-PPM
     gx = xfx * fx1
-    ra_x = area + (xfx - sx(xfx, 1))
+    if ra_x is None:
+        ra_x = area + (xfx - sx(xfx, 1))
     q_j = (qx * area + (gx - sx(gx, 1))) / ra_x
     fy = 0.5 * (ppm._flux_1d(q_j, cry, hord, sy) + fy1) * wy
     return fx, fy
@@ -182,3 +189,254 @@ def fvtp2d_pallas(
         args += [mfx, mfy]
     bk = min(block_k, qx.shape[1])
     return _run(tuple(args), hord, use_mf, bk, interpret)
+
+
+# --- multi-field variant ----------------------------------------------------
+#
+# d_sw transports pt, vorticity and w with the SAME winds (crx/cry/xfx/yfx and
+# optionally the same mass fluxes). Calling the single-field kernel three
+# times re-reads the 5-7 shared operand fields from HBM each time and
+# recomputes the field-independent inner-update denominators ra_x/ra_y. This
+# variant stages the shared operands once and loops the PPM scheme over the
+# fields inside VMEM: for 3 fields, ~13 HBM field reads instead of ~25.
+
+
+def _kernel_multi(*refs, hords, use_mfs, interpret):
+    n = len(hords)
+    q_refs = refs[: 2 * n]
+    crx_r, cry_r, xfx_r, yfx_r, area_r = refs[2 * n : 2 * n + 5]
+    pos = 2 * n + 5
+    if any(use_mfs):
+        mfx_r, mfy_r = refs[pos : pos + 2]
+        pos += 2
+    else:
+        mfx_r = mfy_r = None
+    out_refs = refs[pos : pos + 2 * n]
+
+    X = q_refs[0].shape[-1]
+    Y = q_refs[0].shape[-2]
+    crx = crx_r[..., :, :X]
+    cry = cry_r[..., :Y, :]
+    xfx = xfx_r[..., :, :X]
+    yfx = yfx_r[..., :Y, :]
+    area = area_r[...][:, None]
+    wx_mf = mfx_r[..., :, :X] if mfx_r is not None else None
+    wy_mf = mfy_r[..., :Y, :] if mfy_r is not None else None
+
+    sx, sy = _mk_shift(interpret)
+    ra_y = area + (yfx - sy(yfx, 1))
+    ra_x = area + (xfx - sx(xfx, 1))
+
+    for f in range(n):
+        qx = q_refs[2 * f][...]
+        qy = q_refs[2 * f + 1][...]
+        wx = wx_mf if use_mfs[f] else xfx
+        wy = wy_mf if use_mfs[f] else yfx
+        fx, fy = _fvtp2d_block(
+            qx, qy, crx, cry, xfx, yfx, area, wx, wy, hords[f], interpret,
+            ra_x=ra_x, ra_y=ra_y,
+        )
+        fx_r = out_refs[2 * f]
+        fy_r = out_refs[2 * f + 1]
+        fx_r[..., :, :X] = fx
+        fx_r[..., :, X:] = jnp.zeros_like(fx_r[..., :, X:])
+        fy_r[..., :Y, :] = fy
+        fy_r[..., Y:, :] = jnp.zeros_like(fy_r[..., Y:, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hords", "use_mfs", "block_k", "interpret")
+)
+def _run_multi(args, hords, use_mfs, block_k, interpret):
+    n = len(hords)
+    qx = args[0]
+    S, K, Y, X = qx.shape
+    nb = pl.cdiv(K, block_k)
+    area_idx = 2 * n + 4  # position of the (S, Y, X) area array in args
+
+    def spec(a):
+        return pl.BlockSpec(
+            (1, block_k) + a.shape[-2:], lambda s, kb: (s, kb, 0, 0)
+        )
+
+    in_specs = []
+    for i, a in enumerate(args):
+        if i == area_idx:
+            in_specs.append(
+                pl.BlockSpec((1,) + a.shape[-2:], lambda s, kb: (s, 0, 0))
+            )
+        else:
+            in_specs.append(spec(a))
+    out_specs = []
+    out_shape = []
+    for _ in range(n):
+        out_specs.append(
+            pl.BlockSpec((1, block_k, Y, X + 1), lambda s, kb: (s, kb, 0, 0))
+        )
+        out_specs.append(
+            pl.BlockSpec((1, block_k, Y + 1, X), lambda s, kb: (s, kb, 0, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((S, K, Y, X + 1), qx.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((S, K, Y + 1, X), qx.dtype))
+    kernel = functools.partial(
+        _kernel_multi, hords=hords, use_mfs=use_mfs, interpret=interpret
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(S, nb),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        **(
+            {"compiler_params": _COMPILER_PARAMS}
+            if _COMPILER_PARAMS is not None and not interpret
+            else {}
+        ),
+    )(*args)
+
+
+# --- tracer-batched variant -------------------------------------------------
+#
+# Tracer transport moves nq fields with IDENTICAL winds, mass fluxes and hord.
+# Instead of separate refs per field (the d_sw multi variant, which allows
+# mixed hords/weightings), the tracers ride a leading array axis and the
+# kernel grid iterates (S, k-block, tracer) with the tracer axis INNERMOST:
+# the shared operand blocks' indices don't depend on the tracer index, so the
+# Pallas pipeline elides their DMA between consecutive tracer steps — the
+# winds are fetched from HBM once per k-block, not once per tracer.
+
+
+def _kernel_tracer(q_x_r, q_y_r, crx_r, cry_r, xfx_r, yfx_r, area_r,
+                   mfx_r, mfy_r, fx_r, fy_r, *, hord, interpret):
+    X = q_x_r.shape[-1]
+    Y = q_x_r.shape[-2]
+    qx = q_x_r[:, 0]
+    qy = q_y_r[:, 0]
+    crx = crx_r[..., :, :X]
+    cry = cry_r[..., :Y, :]
+    xfx = xfx_r[..., :, :X]
+    yfx = yfx_r[..., :Y, :]
+    area = area_r[...][:, None]
+    wx = mfx_r[..., :, :X]
+    wy = mfy_r[..., :Y, :]
+    fx, fy = _fvtp2d_block(
+        qx, qy, crx, cry, xfx, yfx, area, wx, wy, hord, interpret
+    )
+    fx_r[:, 0, :, :, :X] = fx
+    fx_r[:, 0, :, :, X:] = jnp.zeros_like(fx_r[:, 0, :, :, X:])
+    fy_r[:, 0, :, :Y, :] = fy
+    fy_r[:, 0, :, Y:, :] = jnp.zeros_like(fy_r[:, 0, :, Y:, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hord", "block_k", "interpret")
+)
+def _run_tracer(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy,
+                hord, block_k, interpret):
+    S, NQ, K, Y, X = qx.shape
+    nb = pl.cdiv(K, block_k)
+
+    def q_spec(dy=0, dx=0):
+        return pl.BlockSpec(
+            (1, 1, block_k, Y + dy, X + dx),
+            lambda s, kb, qi: (s, qi, kb, 0, 0),
+        )
+
+    def shared_spec(a):
+        return pl.BlockSpec(
+            (1, block_k) + a.shape[-2:], lambda s, kb, qi: (s, kb, 0, 0)
+        )
+
+    area_spec = pl.BlockSpec(
+        (1,) + area.shape[-2:], lambda s, kb, qi: (s, 0, 0)
+    )
+    in_specs = [
+        q_spec(), q_spec(),
+        shared_spec(crx), shared_spec(cry),
+        shared_spec(xfx), shared_spec(yfx),
+        area_spec,
+        shared_spec(mfx), shared_spec(mfy),
+    ]
+    out_specs = (q_spec(dx=1), q_spec(dy=1))
+    out_shape = (
+        jax.ShapeDtypeStruct((S, NQ, K, Y, X + 1), qx.dtype),
+        jax.ShapeDtypeStruct((S, NQ, K, Y + 1, X), qx.dtype),
+    )
+    kernel = functools.partial(
+        _kernel_tracer, hord=hord, interpret=interpret
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(S, nb, NQ),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **(
+            {"compiler_params": _COMPILER_PARAMS}
+            if _COMPILER_PARAMS is not None and not interpret
+            else {}
+        ),
+    )(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy)
+
+
+def fvtp2d_tracer_pallas(
+    qx,
+    qy,
+    crx,
+    cry,
+    xfx,
+    yfx,
+    area,
+    mfx,
+    mfy,
+    hord: int,
+    block_k: int = 8,
+    interpret: bool = False,
+):
+    """Mass-flux-weighted transport of a stacked tracer block.
+
+    ``qx``/``qy``: ``(S, nq, K, Y, X)`` corner-fold variants of the tracers;
+    all other operands as in :func:`fvtp2d_pallas` (shared by every tracer).
+    Returns ``(fx, fy)`` of shapes ``(S, nq, K, Y, X+1)`` / ``(S, nq, K,
+    Y+1, X)``, each tracer identical to its single-field call.
+    """
+    bk = min(block_k, qx.shape[2])
+    return _run_tracer(
+        qx, qy, crx, cry, xfx, yfx, area, mfx, mfy, int(hord), bk, interpret
+    )
+
+
+def fvtp2d_multi_pallas(
+    fields,
+    crx,
+    cry,
+    xfx,
+    yfx,
+    area,
+    mfx: Optional[jnp.ndarray] = None,
+    mfy: Optional[jnp.ndarray] = None,
+    block_k: int = 8,
+    interpret: bool = False,
+):
+    """Transport several fields with shared winds in ONE fused kernel.
+
+    ``fields`` is a sequence of ``(qx, qy, hord, use_mf)`` tuples; fields with
+    ``use_mf=True`` weight their interface values by ``mfx``/``mfy`` (the
+    mass-flux path), others by ``xfx``/``yfx``. Returns a list of
+    ``(fx, fy)`` pairs in field order, each identical (up to compile-order
+    round-off on CPU) to the corresponding single-field call.
+    """
+    hords = tuple(int(h) for (_, _, h, _) in fields)
+    use_mfs = tuple(bool(m) for (_, _, _, m) in fields)
+    args = []
+    for qx, qy, _, _ in fields:
+        args += [qx, qy]
+    args += [crx, cry, xfx, yfx, area]
+    if any(use_mfs):
+        assert mfx is not None and mfy is not None
+        args += [mfx, mfy]
+    bk = min(block_k, fields[0][0].shape[1])
+    flat = _run_multi(tuple(args), hords, use_mfs, bk, interpret)
+    return [(flat[2 * f], flat[2 * f + 1]) for f in range(len(fields))]

@@ -76,27 +76,55 @@ def advect_tracers(
 
     import jax
 
+    from ._dispatch import use_pallas
+
+    use_batched = use_pallas("fvtp2d") and q.ndim == 5
+
     for _ in range(n_split):
         dp2 = dp1 + (x_iface_diff(mfx) + y_iface_diff(mfy)) * bcast_k(rarea, dp1)
 
-        def one_tracer(q1):
-            # per-tracer transport: the PPM operator's ~6 field-sized
-            # intermediates exist for ONE tracer at a time — running the whole
-            # (S, nq, K, Y, X) block at once held several multi-GB temporaries
-            # live at C192 npz=79 and overflowed HBM
-            qx1 = halo.update_scalar(q1, stagger="center", fold="x")
-            qy1 = halo.update_scalar(q1, stagger="center", fold="y")
-            fl = fvtp2d(
-                qx1, qy1, crx, cry, xfx, yfx, grid.area, hord, mfx=mfx, mfy=mfy
+        if use_batched:
+            # Whole tracer block through ONE kernel: the grid iterates the
+            # tracer axis innermost, so the shared wind/mass-flux blocks'
+            # DMAs are elided between tracers — the winds are read from HBM
+            # once per k-block instead of once per tracer. Only qx/qy/fx/fy
+            # materialize in HBM (the PPM intermediates stay in VMEM); the
+            # XLA-batched variant materialized ~6 block-sized temporaries
+            # and overflowed HBM at C192 npz=79.
+            from .fvtp2d_pallas import fvtp2d_tracer_pallas
+
+            qx_all = halo.update_scalar(q, stagger="center", fold="x")
+            qy_all = halo.update_scalar(q, stagger="center", fold="y")
+            fx, fy = fvtp2d_tracer_pallas(
+                qx_all, qy_all, crx, cry, xfx, yfx, grid.area, mfx, mfy, hord
             )
             # make cross-tile-edge fluxes single-valued (exact conservation)
-            fx, fy = halo.sync_vector_interfaces(fl.fx, fl.fy, kind="cgrid")
-            return (
-                q1 * dp1
-                + (x_iface_diff(fx) + y_iface_diff(fy)) * bcast_k(rarea, q1)
-            ) / dp2
+            fx, fy = halo.sync_vector_interfaces(fx, fy, kind="cgrid")
+            q = (
+                q * dp1[:, None]
+                + (x_iface_diff(fx) + y_iface_diff(fy))
+                * bcast_k(rarea, q)
+            ) / dp2[:, None]
+        else:
 
-        q_m = jnp.moveaxis(q, 1, 0)  # (nq, S, K, Y, X) for lax.map
-        q = jnp.moveaxis(jax.lax.map(one_tracer, q_m), 0, 1)
+            def one_tracer(q1):
+                # per-tracer transport: the PPM operator's ~6 field-sized
+                # intermediates exist for ONE tracer at a time (see the
+                # batched-path comment above for why not to stack under XLA)
+                qx1 = halo.update_scalar(q1, stagger="center", fold="x")
+                qy1 = halo.update_scalar(q1, stagger="center", fold="y")
+                fl = fvtp2d(
+                    qx1, qy1, crx, cry, xfx, yfx, grid.area, hord,
+                    mfx=mfx, mfy=mfy,
+                )
+                # single-valued cross-tile-edge fluxes (exact conservation)
+                fx, fy = halo.sync_vector_interfaces(fl.fx, fl.fy, kind="cgrid")
+                return (
+                    q1 * dp1
+                    + (x_iface_diff(fx) + y_iface_diff(fy)) * bcast_k(rarea, q1)
+                ) / dp2
+
+            q_m = jnp.moveaxis(q, 1, 0)  # (nq, S, K, Y, X) for lax.map
+            q = jnp.moveaxis(jax.lax.map(one_tracer, q_m), 0, 1)
         dp1 = dp2
     return q, dp1

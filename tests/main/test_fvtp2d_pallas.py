@@ -60,6 +60,57 @@ def test_matches_xla_interior(hord, use_mf):
     )
 
 
+def test_multi_matches_single_field():
+    """The fused multi-field kernel (shared winds staged once) must equal the
+    per-field kernel for every field, mixed hords and mf/non-mf weighting —
+    the d_sw pt/vorticity/w triple."""
+    from pace_tpu.ops.fvtp2d_pallas import fvtp2d_multi_pallas
+
+    rng = np.random.default_rng(99)
+    q0, crx, cry, xfx, yfx, mfx, mfy, area = _setup(rng)
+    q1 = q0 * 0.3 + 2.0
+    q2 = jnp.flip(q0, axis=-1)
+    fields = [(q0, q0, 6, True), (q1, q1, 5, False), (q2, q2, 6, True)]
+    outs = fvtp2d_multi_pallas(
+        fields, crx, cry, xfx, yfx, area, mfx=mfx, mfy=mfy, interpret=True
+    )
+    for (qx, qy, hord, use_mf), (fx, fy) in zip(fields, outs):
+        kw = dict(mfx=mfx, mfy=mfy) if use_mf else {}
+        rfx, rfy = fvtp2d_pallas(
+            qx, qy, crx, cry, xfx, yfx, area, hord, interpret=True, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(rfx), np.asarray(fx), rtol=1e-12, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(rfy), np.asarray(fy), rtol=1e-12, atol=1e-12
+        )
+
+
+def test_tracer_batched_matches_single_field():
+    """The tracer-batched kernel (stacked nq axis, shared winds DMA-elided)
+    must equal per-tracer single-field calls."""
+    from pace_tpu.ops.fvtp2d_pallas import fvtp2d_tracer_pallas
+
+    rng = np.random.default_rng(4242)
+    q0, crx, cry, xfx, yfx, mfx, mfy, area = _setup(rng)
+    q = jnp.stack([q0, q0 * 0.5 + 1.0, jnp.flip(q0, axis=-2)], axis=1)
+    fx, fy = fvtp2d_tracer_pallas(
+        q, q, crx, cry, xfx, yfx, area, mfx, mfy, 8, interpret=True
+    )
+    for t in range(q.shape[1]):
+        rfx, rfy = fvtp2d_pallas(
+            q[:, t], q[:, t], crx, cry, xfx, yfx, area, 8,
+            mfx=mfx, mfy=mfy, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rfx), np.asarray(fx[:, t]), rtol=1e-12, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(rfy), np.asarray(fy[:, t]), rtol=1e-12, atol=1e-12
+        )
+
+
 def test_k_blocking_invariance():
     """Result must not depend on the K block size (block boundary handling)."""
     rng = np.random.default_rng(7)
