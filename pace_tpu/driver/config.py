@@ -62,6 +62,28 @@ class PhysicsEnableConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh block — the ``mpirun -n N`` analog (reference
+    README.md:80-84 runs the driver distributed; the communicator is built
+    inside Driver.__init__, reference driver/pace/driver/driver.py:418-430).
+    Here scale-out is a `jax.sharding.Mesh` over the stacked shard axis
+    S = 6*ly*lx: the Driver shards the state, replicates the grid, and runs
+    the SAME step program SPMD — diagnostics, restart, safety checks and
+    perf all keep working (they read through the sharded arrays).
+
+    - ``enabled``: shard the run over a device mesh
+    - ``n_devices``: devices to use (null = all visible; must divide
+      6*ly*lx of the configured layout)
+    - ``distributed``: call jax.distributed.initialize() first (multi-host
+      bring-up; coordinator/process env vars per JAX docs)
+    """
+
+    enabled: bool = False
+    n_devices: Optional[int] = None
+    distributed: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class CommConfig:
     """Halo-exchange backend selector — the reference CreatesCommSelector
     analog (driver/pace/driver/comm.py:14-184: MPICommConfig, NullCommConfig,
@@ -106,6 +128,7 @@ class DriverConfig:
     )
     grid_config: GridConfig = dataclasses.field(default_factory=GridConfig)
     comm_config: CommConfig = dataclasses.field(default_factory=CommConfig)
+    mesh_config: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     restart_config: RestartConfig = dataclasses.field(default_factory=RestartConfig)
     safety_checks: List[SafetyCheckConfig] = dataclasses.field(
         default_factory=lambda: [

@@ -76,10 +76,49 @@ class Driver:
         elif comm.type != "exchange":
             raise ValueError(f"unknown comm type {comm.type!r}")
 
+        # --- device mesh (the mpirun -n N analog; reference README.md:80-84,
+        # comm built inside Driver.__init__ driver.py:418-430). The mesh is
+        # built BEFORE state init so initial state is sharded on creation,
+        # and the halo layer routes exchanges through shard_map + ppermute
+        # while any step traces (see _mesh_ctx).
+        self._mesh = None
+        if config.mesh_config.enabled:
+            import jax as _jax
+
+            from ..parallel import mesh as M
+
+            if config.mesh_config.distributed:
+                M.initialize_distributed()
+            n_dev = config.mesh_config.n_devices or len(_jax.devices())
+            ly, lx = config.layout
+            n_shards = 6 * ly * lx
+            if n_shards % n_dev:
+                raise ValueError(
+                    f"mesh_config: {n_dev} devices do not divide the "
+                    f"{n_shards} shards of layout {config.layout}; choose a "
+                    "layout with 6*ly*lx divisible by the device count "
+                    "(reference analog: ranks = 6*lx*ly, driver.py:98)"
+                )
+            if config.pair_debug:
+                raise ValueError(
+                    "pair_debug runs eager per-stage checkpointers and is a "
+                    "single-device debugging tool; disable mesh_config.enabled"
+                )
+            self._mesh = M.cube_mesh(n=n_dev)
+            logger.info(
+                "device mesh: %d devices, %d shards (%d per device)",
+                n_dev, n_shards, n_shards // n_dev,
+            )
+            self.grid_data = M.replicate(self.grid_data, self._mesh)
+
         logger.info("initializing state (%s)", config.initialization.type)
         self.state = config.initialization.get_dycore_state(
             self.metric_terms, dtype
         )
+        if self._mesh is not None:
+            from ..parallel import mesh as M
+
+            self.state = M.shard_state(self.state, self._mesh)
 
         checkpointer = None
         if config.debug_checks:
@@ -187,6 +226,12 @@ class Driver:
                 self.physics.surface_state = self.physics._surface.init(
                     self.state.ps.shape, self.state.ps.dtype
                 )
+            if self._mesh is not None and self.physics.surface_state is not None:
+                from ..parallel import mesh as M
+
+                self.physics.surface_state = M.shard_state(
+                    self.physics.surface_state, self._mesh
+                )
 
         self.diagnostics = config.diagnostics_config.diagnostics_factory(
             self.metric_terms, self.metric_terms.spec.n_halo
@@ -236,6 +281,18 @@ class Driver:
             self.halo, shard, self.config.nz
         )
 
+    def _mesh_ctx(self):
+        """Active-mesh scope: while a step traces inside it, the halo layer
+        compiles its exchanges as shard_map + ppermute over the driver's
+        device mesh (parallel/halo_slabs._shardmap)."""
+        import contextlib
+
+        if self._mesh is None:
+            return contextlib.nullcontext()
+        from ..parallel.mesh import shard_mesh
+
+        return shard_mesh(self._mesh)
+
     # ------------------------------------------------------------------
     def step_all(self):
         import time as _time
@@ -252,7 +309,7 @@ class Driver:
         if self.config.performance_config.profile_dir:
             jax.profiler.start_trace(self.config.performance_config.profile_dir)
         ctx = jax.disable_jit() if self._eager else contextlib.nullcontext()
-        with ctx:
+        with ctx, self._mesh_ctx():
             if self.config.diagnostics_config.output_initial_state:
                 self.diagnostics.store(
                     self.time_seconds, self.state, self._physics_extras()
@@ -329,17 +386,18 @@ class Driver:
             if self.config.performance_config.collect_communication
             else STAGES
         )
-        stage_times = profile_stage_times(
-            self.dycore._step, state, self.dycore.grid, stages=stages
-        )
-        if self.physics is not None:
-            phys_stages = ("Radiation", "Surface", "PBL", "DeepConvection",
-                           "ShallowConvection", "Microphysics")
-            t = jnp.asarray(self.time_seconds, dtype=jnp.float32)
-            stage_times.update(profile_stage_times(
-                self.physics._call, self.state, self.physics.surface_state,
-                t, stages=phys_stages,
-            ))
+        with self._mesh_ctx():
+            stage_times = profile_stage_times(
+                self.dycore._step, state, self.dycore.grid, stages=stages
+            )
+            if self.physics is not None:
+                phys_stages = ("Radiation", "Surface", "PBL", "DeepConvection",
+                               "ShallowConvection", "Microphysics")
+                t = jnp.asarray(self.time_seconds, dtype=jnp.float32)
+                stage_times.update(profile_stage_times(
+                    self.physics._call, self.state, self.physics.surface_state,
+                    t, stages=phys_stages,
+                ))
         self.performance.stage_device_seconds = stage_times
 
     def _check_pair(self):
