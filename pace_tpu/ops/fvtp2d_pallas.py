@@ -430,6 +430,20 @@ def fvtp2d_multi_pallas(
     """
     hords = tuple(int(h) for (_, _, h, _) in fields)
     use_mfs = tuple(bool(m) for (_, _, _, m) in fields)
+    q0 = fields[0][0]
+    for qx, qy, _, _ in fields:
+        # output shapes and block specs are sized from fields[0]; a mismatch
+        # would otherwise surface as an obscure Pallas layout error
+        if qx.shape != q0.shape or qy.shape != q0.shape:
+            raise ValueError(
+                f"fvtp2d_multi_pallas: all fields must share shape "
+                f"{q0.shape}, got {qx.shape}/{qy.shape}"
+            )
+        if qx.dtype != q0.dtype or qy.dtype != q0.dtype:
+            raise ValueError(
+                f"fvtp2d_multi_pallas: all fields must share dtype "
+                f"{q0.dtype}, got {qx.dtype}/{qy.dtype}"
+            )
     args = []
     for qx, qy, _, _ in fields:
         args += [qx, qy]

@@ -78,7 +78,12 @@ def advect_tracers(
 
     from ._dispatch import use_pallas
 
+    # the batched branch is exercised on CPU too (interpret-mode kernel) by
+    # monkeypatching _dispatch.use_pallas in tests — the callers' wiring
+    # (5-D halo update, dp broadcasts, 5-D interface sync) is then covered
+    # without TPU hardware
     use_batched = use_pallas("fvtp2d") and q.ndim == 5
+    interpret = jax.default_backend() != "tpu"
 
     for _ in range(n_split):
         dp2 = dp1 + (x_iface_diff(mfx) + y_iface_diff(mfy)) * bcast_k(rarea, dp1)
@@ -90,13 +95,18 @@ def advect_tracers(
             # once per k-block instead of once per tracer. Only qx/qy/fx/fy
             # materialize in HBM (the PPM intermediates stay in VMEM); the
             # XLA-batched variant materialized ~6 block-sized temporaries
-            # and overflowed HBM at C192 npz=79.
+            # and overflowed HBM at C192 npz=79. Peak-HBM note: vs the
+            # lax.map path this holds ~4 extra tracer-block-sized arrays
+            # (qx_all/qy_all/fx/fy) — at C192 npz=79 nq=9 f32 that is
+            # ~2.6 GB extra, fine on a 16 GB chip; for much larger nq use
+            # PACE_TPU_DISABLE_PALLAS=fvtp2d to fall back to per-tracer.
             from .fvtp2d_pallas import fvtp2d_tracer_pallas
 
             qx_all = halo.update_scalar(q, stagger="center", fold="x")
             qy_all = halo.update_scalar(q, stagger="center", fold="y")
             fx, fy = fvtp2d_tracer_pallas(
-                qx_all, qy_all, crx, cry, xfx, yfx, grid.area, mfx, mfy, hord
+                qx_all, qy_all, crx, cry, xfx, yfx, grid.area, mfx, mfy, hord,
+                interpret=interpret,
             )
             # make cross-tile-edge fluxes single-valued (exact conservation)
             fx, fy = halo.sync_vector_interfaces(fx, fy, kind="cgrid")
