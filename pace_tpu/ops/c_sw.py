@@ -135,6 +135,32 @@ def divergence_corner(u, v, va_x, ua_y, grid):
     return out * bcast_k(grid.rarea_c, out)
 
 
+def c_grid_area_fluxes(ut, vt, grid, dt2: float):
+    """Time-integrated upwind area fluxes of the contravariant C-grid winds
+    [m^2] — shared by the provisional delp/pt transport and updatedz_c."""
+    xfx = (
+        dt2
+        * ut
+        * bcast_k(grid.dy, ut)
+        * jnp.where(
+            ut > 0.0,
+            bcast_k(x_cell_to_left_iface(grid.sin_sg_e), ut),
+            bcast_k(x_cell_to_right_iface(grid.sin_sg_w), ut),
+        )
+    )
+    yfx = (
+        dt2
+        * vt
+        * bcast_k(grid.dx, vt)
+        * jnp.where(
+            vt > 0.0,
+            bcast_k(y_cell_to_left_iface(grid.sin_sg_n), vt),
+            bcast_k(y_cell_to_right_iface(grid.sin_sg_s), vt),
+        )
+    )
+    return xfx, yfx
+
+
 def c_sw(u, v, delp, pt, grid, halo, dt2: float):
     """One C-grid half step. Inputs carry fresh halos (depth >= 3).
 
@@ -156,26 +182,7 @@ def c_sw(u, v, delp, pt, grid, halo, dt2: float):
     ua_y, va_y = halo.update_vector(ua, va, kind="agrid", fold="y")
 
     # --- provisional delp/pt: first-order upwind transport over dt2
-    xfx = (
-        dt2
-        * ut
-        * bcast_k(grid.dy, ut)
-        * jnp.where(
-            ut > 0.0,
-            bcast_k(x_cell_to_left_iface(grid.sin_sg_e), ut),
-            bcast_k(x_cell_to_right_iface(grid.sin_sg_w), ut),
-        )
-    )
-    yfx = (
-        dt2
-        * vt
-        * bcast_k(grid.dx, vt)
-        * jnp.where(
-            vt > 0.0,
-            bcast_k(y_cell_to_left_iface(grid.sin_sg_n), vt),
-            bcast_k(y_cell_to_right_iface(grid.sin_sg_s), vt),
-        )
-    )
+    xfx, yfx = c_grid_area_fluxes(ut, vt, grid, dt2)
     dp_x = jnp.where(
         xfx > 0.0, x_cell_to_left_iface(delp), x_cell_to_right_iface(delp)
     )

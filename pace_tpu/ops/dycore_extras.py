@@ -255,6 +255,27 @@ def cloud_fraction(qv, ql, t, p_mid, rh_crit: float = 0.75,
     return jnp.maximum(qa_rh * qa_rh, qa_ql)
 
 
+def global_energy_fix_increment(te1, te2, cvm, delp, area, n_halo, consv):
+    """Globally-uniform temperature increment restoring the remap's total
+    energy loss (reference consv_te: a GLOBAL-integral fixer in the
+    Remapping stage, SURVEY.md §2.3 — not a per-column closure).
+
+    dT = consv * ∮(te1 - te2) dA / ∮(Σ_k cvm·delp) dA
+
+    Sums run over every shard's compute domain (each cube cell exactly once)
+    so the result is layout-invariant; under a sharded S axis XLA lowers the
+    full-axis sums to an all-reduce over the mesh (the reference's MPI
+    global sum analog).
+
+    Returns a scalar [K] to be applied as ``pt += dT / pkz``.
+    """
+    sl = (..., slice(n_halo, -n_halo), slice(n_halo, -n_halo))
+    w_area = area[sl]
+    dte = jnp.sum((te1 - te2)[sl] * w_area)
+    denom = jnp.sum(jnp.sum(cvm * delp, axis=-3)[sl] * w_area)
+    return consv * dte / denom
+
+
 def total_energy_columns(u, v, w, delp, pt, pkz, phis):
     """Column-integrated total energy estimate [J/m^2 / g]: internal +
     kinetic + potential, with winds averaged to cell centers (used by the

@@ -84,17 +84,29 @@ def _interface_mass_weighted(dm, wl):
     )
 
 
-def sim1_solver(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
+def sim1_solver(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0,
+                a_imp: float = 1.0):
     """Semi-implicit vertical solve (reference sim1_solver analog).
 
     Inputs are layer arrays (.., K, Y, X): w [m/s], delz [m, negative],
     pt (theta_v [K]), delp [Pa], pkz (layer-mean (p/P_REF)^kappa), and
     ``ws`` (.., Y, X) the surface vertical velocity (terrain-following BC).
 
+    ``a_imp`` is the implicitness weight θ of the reference's riem_solver
+    family (SURVEY.md §2.3 riem_solver3/sim1 a_imp param): the pressure and
+    velocity updates are evaluated at the θ-blended time level,
+        p'^+ = p'^0 + B (θ ΔW^+ + (1-θ) ΔW^0)
+        W^+  = W^0 + r [θ (δp'^+) + (1-θ) (δp'^0)]
+    which closes into the same tridiagonal with the implicit coupling scaled
+    by θ² and an explicit divergence term on the rhs; θ=1 is the
+    backward-Euler limit (the reference perf configs' setting), θ=0.5 the
+    trapezoidal (neutrally off-centered) scheme.
+
     Returns (w_new, delz_new, pp_interfaces) with ``pp`` the perturbation
     interface pressure [Pa] (pp[0] = 0 at the model top).
     """
     K = w.shape[-3]
+    theta = float(a_imp)
     dm = delp / constants.GRAV
 
     # full gas-law layer pressure: rho = dm / (-delz), T_v = pt * pkz,
@@ -131,16 +143,27 @@ def sim1_solver(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
         [jnp.zeros_like(b_coef[..., :1, :, :]), b_coef[..., :-1, :, :]], axis=-3
     )  # B_{k-1}, zero for k=0 (no layer above)
     r = dt / dmh
-    a_diag = -r * b_km1
-    b_diag = 1.0 + r * (b_km1 + b_coef)
-    c_diag = -r * b_coef
+    th2 = theta * theta
+    a_diag = -th2 * r * b_km1
+    b_diag = 1.0 + th2 * r * (b_km1 + b_coef)
+    c_diag = -th2 * r * b_coef
     pprime_km1 = jnp.concatenate(
         [jnp.zeros_like(pprime[..., :1, :, :]), pprime[..., :-1, :, :]], axis=-3
     )
     w0 = jnp.concatenate([w_top, w_int], axis=-3)
-    rhs = w0 + r * (pprime - pprime_km1)
-    # fold the known W_K = ws into the last row's rhs
     ws_e = ws[..., None, :, :] if ws.ndim == w.ndim - 1 else ws
+    rhs = w0 + r * (pprime - pprime_km1)
+    if theta != 1.0:
+        # explicit part of the blended divergence: θ(1-θ) r δ(B ΔW^0)
+        w0_full = jnp.concatenate([w0, ws_e], axis=-3)
+        dwdz0 = w0_full[..., 1:, :, :] - w0_full[..., :-1, :, :]
+        bdw0 = b_coef * dwdz0
+        bdw0_km1 = jnp.concatenate(
+            [jnp.zeros_like(bdw0[..., :1, :, :]), bdw0[..., :-1, :, :]],
+            axis=-3,
+        )
+        rhs = rhs + theta * (1.0 - theta) * r * (bdw0 - bdw0_km1)
+    # fold the known W_K = ws into the last row's rhs
     rhs = rhs.at[..., -1:, :, :].add(-c_diag[..., -1:, :, :] * ws_e)
     c_diag = c_diag.at[..., -1:, :, :].set(0.0)
 
@@ -149,6 +172,9 @@ def sim1_solver(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
 
     # --- updates
     dwdz = w_iface_full[..., 1:, :, :] - w_iface_full[..., :-1, :, :]
+    if theta != 1.0:
+        # blended divergence drives the thickness/pressure updates
+        dwdz = theta * dwdz + (1.0 - theta) * dwdz0
     delz_new = delz + dt * dwdz
     # B already carries the dt factor: delta p' = B * delta W
     pprime_new = pprime + b_coef * dwdz
@@ -168,31 +194,67 @@ def sim1_solver(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
     return w_new, delz_new, pp
 
 
-def sim1_solver_best(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
+def _p_fac_floor(delz0, delz_new, pt, delp, pkz, ptop, p_fac: float):
+    """Pressure floor of the reference riem_solver family (p_fac namelist):
+    the solver must not expand a layer so far that its gas-law pressure
+    drops below ``p_fac`` × the hydrostatic layer pressure (the reference
+    floors the pressure when recomputing dz from the gas law in
+    SIM1_solver). Equivalent cap on the thickness:
+        (-delz)_max = dm·Rd·Tv / (p_fac·p_hyd).
+    """
+    dm = delp / constants.GRAV
+    t_v = pt * pkz
+    pe_hyd_below = ptop + jnp.cumsum(delp, axis=-3)
+    pe_hyd = jnp.concatenate(
+        [jnp.full_like(pe_hyd_below[..., :1, :, :], ptop), pe_hyd_below],
+        axis=-3,
+    )
+    peln = jnp.log(jnp.maximum(pe_hyd, 1e-10))
+    p_hyd_layer = delp / (peln[..., 1:, :, :] - peln[..., :-1, :, :])
+    limit = dm * constants.RDGAS * t_v / (p_fac * p_hyd_layer)
+    return jnp.maximum(delz_new, -limit)
+
+
+def sim1_solver_best(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0,
+                     a_imp: float = 1.0, p_fac: float = 0.05):
     """Backend-dispatched sim1: the Pallas column kernel on TPU float32
     (whole Thomas solve in VMEM — see sim1_pallas), the lax.scan formulation
-    elsewhere (CPU tests, float64 validation runs)."""
+    elsewhere (CPU tests, float64 validation runs, and the semi-implicit
+    a_imp<1 blend, which the reference perf configs never enable —
+    a_imp: 1.0 in baroclinic_c12.yaml:43 and baroclinic_c192_6ranks.yaml:30).
+    The p_fac pressure floor applies on every path."""
     from ._dispatch import use_pallas
 
-    if use_pallas("sim1") and w.dtype == jnp.float32:
+    if a_imp == 1.0 and use_pallas("sim1") and w.dtype == jnp.float32:
         from .sim1_pallas import sim1_solver_pallas
 
-        return sim1_solver_pallas(
+        w_new, delz_new, pp = sim1_solver_pallas(
             w, delz, pt, delp, pkz, ws, float(dt), float(ptop)
         )
-    return sim1_solver(w, delz, pt, delp, pkz, ws, dt, ptop)
-
-
-def riem_solver3(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0):
-    """D-grid vertical solve (reference riem_solver3)."""
-    w_new, delz_new, pp = sim1_solver_best(w, delz, pt, delp, pkz, ws, dt, ptop)
+    else:
+        w_new, delz_new, pp = sim1_solver(
+            w, delz, pt, delp, pkz, ws, dt, ptop, a_imp=a_imp
+        )
+    delz_new = _p_fac_floor(delz, delz_new, pt, delp, pkz, ptop, p_fac)
     return w_new, delz_new, pp
 
 
-def riem_solver_c(w, delz, ptc, delpc, pkz, ws, dt2: float, ptop: float):
+def riem_solver3(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0,
+                 a_imp: float = 1.0, p_fac: float = 0.05):
+    """D-grid vertical solve (reference riem_solver3)."""
+    w_new, delz_new, pp = sim1_solver_best(
+        w, delz, pt, delp, pkz, ws, dt, ptop, a_imp=a_imp, p_fac=p_fac
+    )
+    return w_new, delz_new, pp
+
+
+def riem_solver_c(w, delz, ptc, delpc, pkz, ws, dt2: float, ptop: float,
+                  a_imp: float = 1.0, p_fac: float = 0.05):
     """C-grid provisional solve (reference riem_solver_c): returns the full
     nonhydrostatic interface pressure [Pa] and gz for p_grad_c."""
-    _w_new, delz_new, pp = sim1_solver_best(w, delz, ptc, delpc, pkz, ws, dt2, ptop)
+    _w_new, delz_new, pp = sim1_solver_best(
+        w, delz, ptc, delpc, pkz, ws, dt2, ptop, a_imp=a_imp, p_fac=p_fac
+    )
     pe_below = ptop + jnp.cumsum(delpc, axis=-3)
     pe = jnp.concatenate(
         [jnp.full_like(pe_below[..., :1, :, :], ptop), pe_below], axis=-3
@@ -208,6 +270,47 @@ def heights_from_delz(delz, phis):
     zh_top = zs - csum  # zh_k = zs - sum_{m>=k} delz_m (delz<0 => zh above zs)
     zh = jnp.concatenate([zh_top, zs * jnp.ones_like(delz[..., :1, :, :])], axis=-3)
     return zh
+
+
+def updatedz_c(zh_x, zh_y, ut, vt, grid, dt2: float):
+    """C-grid interface-height update before riem_solver_c (reference
+    updatedzc, SURVEY.md §2.3 updatedzc/updatedzd row; VERDICT r2 #7): the
+    provisional C-grid solve must see heights advected by the same C-grid
+    winds that advected delpc/ptc, plus the terrain-following surface
+    velocity ws_c those heights imply.
+
+    ``zh_x``/``zh_y``: interface heights (.., K+1, Y, X) with x/y corner
+    folds; ``ut``/``vt``: contravariant C-grid layer winds. First-order
+    upwind (matching the provisional delp/pt transport of c_sw — the
+    reference's update_dz_c is likewise low-order).
+
+    Returns (zh_new, ws_c) with the bottom interface pinned back to the
+    surface.
+    """
+    from .c_sw import c_grid_area_fluxes
+
+    def to_iface(f):
+        mid = 0.5 * (f[..., :-1, :, :] + f[..., 1:, :, :])
+        return jnp.concatenate(
+            [f[..., :1, :, :], mid, f[..., -1:, :, :]], axis=-3
+        )
+
+    xfx, yfx = c_grid_area_fluxes(to_iface(ut), to_iface(vt), grid, dt2)
+    zx = jnp.where(
+        xfx > 0.0, x_cell_to_left_iface(zh_x), x_cell_to_right_iface(zh_x)
+    )
+    zy = jnp.where(
+        yfx > 0.0, y_cell_to_left_iface(zh_y), y_cell_to_right_iface(zh_y)
+    )
+    area_b = bcast_k(grid.area, zh_x)
+    ra = area_b + x_iface_diff(xfx) + y_iface_diff(yfx)
+    zh_new = (
+        zh_x * area_b + x_iface_diff(zx * xfx) + y_iface_diff(zy * yfx)
+    ) / ra
+    zs = zh_x[..., -1:, :, :]
+    ws_c = (zh_new[..., -1:, :, :] - zs)[..., 0, :, :] / dt2
+    zh_new = jnp.concatenate([zh_new[..., :-1, :, :], zs], axis=-3)
+    return zh_new, ws_c
 
 
 def updatedz_d(zh_x, zh_y, crx, cry, xfx, yfx, grid, dt: float, hord: int = 5):
