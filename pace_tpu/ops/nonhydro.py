@@ -228,13 +228,16 @@ def sim1_solver_best(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0,
     if a_imp == 1.0 and use_pallas("sim1") and w.dtype == jnp.float32:
         from .sim1_pallas import sim1_solver_pallas
 
-        w_new, delz_new, pp = sim1_solver_pallas(
-            w, delz, pt, delp, pkz, ws, float(dt), float(ptop)
+        # the kernel applies the p_fac floor in-VMEM (its hydrostatic layer
+        # pressure is already resident; the external floor would redo the
+        # whole cumsum/log pass through HBM)
+        return sim1_solver_pallas(
+            w, delz, pt, delp, pkz, ws, float(dt), float(ptop),
+            p_fac=float(p_fac),
         )
-    else:
-        w_new, delz_new, pp = sim1_solver(
-            w, delz, pt, delp, pkz, ws, dt, ptop, a_imp=a_imp
-        )
+    w_new, delz_new, pp = sim1_solver(
+        w, delz, pt, delp, pkz, ws, dt, ptop, a_imp=a_imp
+    )
     delz_new = _p_fac_floor(delz, delz_new, pt, delp, pkz, ptop, p_fac)
     return w_new, delz_new, pp
 

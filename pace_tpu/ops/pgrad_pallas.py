@@ -62,36 +62,48 @@ class _GridView:
 _CONST_NAMES = tuple(f.name for f in dataclasses.fields(_GridView))
 
 
-def _kernel(pk_lo, pk_hi, gz_lo, gz_hi, pp_lo, pp_hi, delp_ref,
+def _kernel(pk_ref, pk_last, gz_ref, gz_last, pp_ref, pp_last, delp_ref,
             u_ref, v_ref, rdx_ref, rdy_ref, *consts_outs_scratch, dt: float,
             bk: int):
     nc = len(_CONST_NAMES)
     consts = consts_outs_scratch[:nc]
     u_out, v_out = consts_outs_scratch[nc : nc + 2]
-    scr = consts_outs_scratch[nc + 2 :]  # 7 scratch refs (BK, Y+1, X+1)
+    scr = consts_outs_scratch[nc + 2 :]  # pk/gz/pp (BK+1,..), delp (BK,..)
     gv = _GridView(**{
         name: ref[0] for name, ref in zip(_CONST_NAMES, consts)
     })
     rdx = rdx_ref[0]
     rdy = rdy_ref[0]
 
-    # stage 1: interpolate each field to corners into scratch, one field per
-    # loop so the live-temporary set (the a2b internals) stays ~one call —
-    # a single fused per-layer body blew the 16MB scoped-vmem stack at C192
-    fields = (pk_lo, pk_hi, gz_lo, gz_hi, pp_lo, pp_hi, delp_ref)
-    for f_ref, s_ref in zip(fields, scr):
+    # stage 1: interpolate each INTERFACE once (BK+1 per block, the block's
+    # last interface coming from the single-plane operand) — the previous
+    # lo/hi formulation interpolated every interior interface twice and
+    # DMA'd each interface field twice. One field per loop so the live
+    # temporary set (the a2b internals) stays ~one call — a single fused
+    # per-layer body blew the 16MB scoped-vmem stack at C192.
+    s_pk, s_gz, s_pp, s_dpb = scr
+    for f_ref, l_ref, s_ref in (
+        (pk_ref, pk_last, s_pk),
+        (gz_ref, gz_last, s_gz),
+        (pp_ref, pp_last, s_pp),
+    ):
         def stage(k, _, f_ref=f_ref, s_ref=s_ref):
             s_ref[k] = a2b_ord4(f_ref[0, k], gv)
             return 0
 
         jax.lax.fori_loop(0, bk, stage, 0)
+        s_ref[bk] = a2b_ord4(l_ref[0, 0], gv)
 
-    s_pk1, s_pk2, s_gz1, s_gz2, s_pp1, s_pp2, s_dpb = scr
+    def stage_dp(k, _):
+        s_dpb[k] = a2b_ord4(delp_ref[0, k], gv)
+        return 0
+
+    jax.lax.fori_loop(0, bk, stage_dp, 0)
 
     def layer(k, _):
-        pk1, pk2 = s_pk1[k], s_pk2[k]
-        gz1, gz2 = s_gz1[k], s_gz2[k]
-        pp1, pp2 = s_pp1[k], s_pp2[k]
+        pk1, pk2 = s_pk[k], s_pk[k + 1]
+        gz1, gz2 = s_gz[k], s_gz[k + 1]
+        pp1, pp2 = s_pp[k], s_pp[k + 1]
         dpb = s_dpb[k]
 
         def pgf(al, ar, dl_):
@@ -149,8 +161,20 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
             (1,) + shape, lambda s, kb: (s, 0, 0)
         )
 
+    def last_plane():
+        # single (Y, X) plane at the block's LAST interface, read from the
+        # SAME (K+1)-plane operand buffer as the bulk block (no lo/hi HBM
+        # duplication). The final k-block's index kb*BK+BK may exceed the
+        # last interface by the cdiv padding — clamp explicitly (the plane
+        # then only feeds padded output layers, which are dropped; an
+        # unclamped out-of-bounds block index aborts on real TPUs).
+        return pl.BlockSpec(
+            (1, 1, Y, X),
+            lambda s, kb: (s, jnp.minimum(kb * _BK + _BK, K1 - 1), 0, 0),
+        )
+
     in_specs = (
-        [fld(K, Y, X)] * 6          # pk/gz/pp lo+hi
+        [fld(K, Y, X), last_plane()] * 3    # pk/gz/pp: bulk + last interface
         + [fld(K, Y, X)]            # delp
         + [fld(K, Y + 1, X), fld(K, Y, X + 1)]  # u, v
         + [cst((Y + 1, X)), cst((Y, X + 1))]    # rdx, rdy
@@ -170,8 +194,8 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((_BK, Y + 1, X + 1), u.dtype) for _ in range(7)
-        ],
+            pltpu.VMEM((_BK + 1, Y + 1, X + 1), u.dtype) for _ in range(3)
+        ] + [pltpu.VMEM((_BK, Y + 1, X + 1), u.dtype)],
         # Mosaic sums the staging loops' live sets into one scoped stack
         # (~42MB at C192) instead of reusing across sequential loops; raise
         # the per-kernel VMEM budget (v5e/v5p have 128MB VMEM)
@@ -179,8 +203,12 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
+        **({} if interpret else __import__(
+            "pace_tpu.ops._dispatch", fromlist=["pallas_cost"]
+        ).pallas_cost((pk, gz, pp, delp, u, v), (u, v),
+                      flops_per_point=80)),
     )(
-        pk[:, :-1], pk[:, 1:], gz[:, :-1], gz[:, 1:], pp[:, :-1], pp[:, 1:],
+        pk, pk, gz, gz, pp, pp,
         delp, u, v, rdx, rdy, *consts,
     )
     return u2, v2

@@ -125,9 +125,12 @@ def remap_field_pallas(q, pe1, pe2, kord=4,
     ny = pl.cdiv(Y, BY)
     nx = pl.cdiv(X, BX)
 
+    from ._dispatch import pallas_cost
+
+    _out_sds = jax.ShapeDtypeStruct((L, K2 - 1, Y, X), q.dtype)
     out = pl.pallas_call(
         functools.partial(_remap_kernel, kord=_coerce_kord(kord)),
-        out_shape=jax.ShapeDtypeStruct((L, K2 - 1, Y, X), q.dtype),
+        out_shape=_out_sds,
         grid=(L, ny, nx),
         in_specs=[
             pl.BlockSpec((1, K1, BY, BX), lambda l, i, j: (l, 0, i, j)),
@@ -147,5 +150,6 @@ def remap_field_pallas(q, pe1, pe2, kord=4,
             pltpu.VMEM((K, BY, BX), q.dtype),  # q*dp
         ],
         interpret=interpret,
+        **({} if interpret else pallas_cost((qf, pe1f, pe2f), (_out_sds,), flops_per_point=200)),
     )(pe1f, pe2f, qf)
     return out.reshape(lead + (K2 - 1, Y, X))

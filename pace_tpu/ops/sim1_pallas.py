@@ -30,7 +30,7 @@ def _sim1_kernel(
     w_ref, delz_ref, pt_ref, delp_ref, pkz_ref, ws_ref,
     wout_ref, dzout_ref, pp_ref,
     a_s, b_s, c_s, rhs_s, cp_s, dp_s, wi_s,
-    *, dt: float, ptop: float,
+    *, dt: float, ptop: float, p_fac: float,
 ):
     w = w_ref[0]          # (K, BY, BX)
     delz = delz_ref[0]
@@ -118,6 +118,13 @@ def _sim1_kernel(
     wi_full = jnp.concatenate([w_iface, ws[None]], axis=0)
     dwdz = wi_full[1:] - wi_full[:-1]
     dz_new = delz + dt * dwdz
+    # p_fac pressure floor in-kernel (p_hyd_layer is already resident —
+    # the external ops.nonhydro._p_fac_floor would redo the whole
+    # cumsum/log pass through HBM): a layer may not expand past the
+    # thickness where its gas-law pressure drops below p_fac * hydrostatic
+    dz_new = jnp.maximum(
+        dz_new, -dm * constants.RDGAS * t_v / (p_fac * p_hyd_layer)
+    )
     pprime_new = pprime + b_coef * dwdz
 
     pp_int = (dm_dn * pprime_new[:-1] + dm_up * pprime_new[1:]) / (
@@ -133,9 +140,12 @@ def _sim1_kernel(
     pp_ref[0] = pp
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "ptop", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("dt", "ptop", "p_fac", "interpret")
+)
 def sim1_solver_pallas(w, delz, pt, delp, pkz, ws, dt: float,
-                       ptop: float = 0.0, interpret: bool = False):
+                       ptop: float = 0.0, p_fac: float = 0.0,
+                       interpret: bool = False):
     """Drop-in for ops.nonhydro.sim1_solver on TPU float32.
 
     w/delz/pt/delp/pkz: (..., K, Y, X); ws: (..., Y, X).
@@ -157,7 +167,7 @@ def sim1_solver_pallas(w, delz, pt, delp, pkz, ws, dt: float,
 
     scratch = pltpu.VMEM((K, BY, BX), w.dtype)
     w_new, dz_new, pp = pl.pallas_call(
-        functools.partial(_sim1_kernel, dt=dt, ptop=ptop),
+        functools.partial(_sim1_kernel, dt=dt, ptop=ptop, p_fac=p_fac),
         out_shape=(
             jax.ShapeDtypeStruct((L, K, Y, X), w.dtype),
             jax.ShapeDtypeStruct((L, K, Y, X), w.dtype),
@@ -173,6 +183,13 @@ def sim1_solver_pallas(w, delz, pt, delp, pkz, ws, dt: float,
         ),
         scratch_shapes=[scratch] * 7,
         interpret=interpret,
+        **({} if interpret else __import__(
+            "pace_tpu.ops._dispatch", fromlist=["pallas_cost"]
+        ).pallas_cost(
+            (w, delz, pt, delp, pkz, ws),
+            (w, delz, jax.ShapeDtypeStruct((L, K + 1, Y, X), w.dtype)),
+            flops_per_point=60, transcendentals_per_point=2,
+        )),
     )(flat(w), flat(delz), flat(pt), flat(delp), flat(pkz), ws_f)
     return (
         w_new.reshape(lead + (K, Y, X)),

@@ -442,6 +442,12 @@ class HaloExchanger:
         """((u_x, v_x), (u_y, v_y)) — both folds of a vector halo update."""
         return self._slabs.update_vector_folds(u, v, kind=kind)
 
+    def start_update_scalars_folds(self, qs, stagger: str = "center"):
+        """Async both-folds exchange (reference start_halo_update(...).wait()
+        analog): on a device mesh the collectives are issued now; ``.wait()``
+        returns [(qi_x, qi_y)]."""
+        return self._slabs.start_update_scalars_folds(qs, stagger=stagger)
+
     def update_scalar_tables(self, q, stagger: str = "center", fold: str = "x"):
         """Gather-table reference implementation (slow on TPU; oracle)."""
         tbl = self.scalar_table(stagger, fold)

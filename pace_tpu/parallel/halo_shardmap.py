@@ -280,7 +280,14 @@ def _extract_frames(plan: _Plan, locals_) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
-def _body(plan: _Plan, *locals_):
+def _body_start(plan: _Plan, *locals_):
+    """Collective phase: frame extraction + every ppermute round. Returns the
+    combined [local frames | received cache] tensor — everything the combine
+    phase needs. Splitting here is the structural analog of the reference's
+    ``start_halo_update(...)``: all ICI collectives are issued in this phase,
+    so interior compute placed between start and wait has no data dependence
+    on them and the TPU scheduler can overlap the two (SURVEY.md §5
+    halo-exchange/compute overlap; VERDICT r2 #3)."""
     me = jax.lax.axis_index(SHARD_AXIS)
     allf = _extract_frames(plan, locals_)
     lead = allf.shape[1:]
@@ -291,8 +298,14 @@ def _body(plan: _Plan, *locals_):
         recvd = jax.lax.ppermute(payload, SHARD_AXIS, rnd.perm_pairs)
         slots = jnp.asarray(rnd.recv_slot)[me]
         cache = cache.at[slots].set(recvd)
-    combined = jnp.concatenate([allf, cache], axis=0)  # (k+R+1, *C, F)
+    return jnp.concatenate([allf, cache], axis=0)  # (k+R+1, *C, F)
 
+
+def _body_finish(plan: _Plan, combined, *locals_):
+    """Combine phase: slab assembly from the combined frames into the ghost
+    rects — pure local compute, NO collectives (asserted by
+    tests/main/test_halo_overlap.py)."""
+    me = jax.lax.axis_index(SHARD_AXIS)
     outs = []
     for out in plan.outs:
         q = locals_[out.src_field]
@@ -321,6 +334,27 @@ def _body(plan: _Plan, *locals_):
     return tuple(outs)
 
 
+def _body(plan: _Plan, *locals_):
+    return _body_finish(plan, _body_start(plan, *locals_), *locals_)
+
+
+class AsyncHaloUpdate:
+    """Handle of an in-flight halo exchange (the reference's async
+    ``start_halo_update`` return, docs/util/communication.rst): the
+    collectives were already issued; ``.wait()`` returns the exchanged
+    fields. Idempotent."""
+
+    def __init__(self, finish):
+        self._finish = finish
+        self._result = None
+
+    def wait(self):
+        if self._result is None:
+            self._result = self._finish()
+            self._finish = None
+        return self._result
+
+
 class ShardMapHalo:
     """shard_map/ppermute execution of a SlabHalo's region ops on a mesh.
 
@@ -340,7 +374,7 @@ class ShardMapHalo:
     def _shape_of(self, stagger: str) -> Tuple[int, int]:
         return self.slab.halo.shard_shape(stagger)
 
-    def _run(self, key, field_shapes, outs_spec, inputs):
+    def _plan_for(self, key, field_shapes, outs_spec, inputs):
         for (fname, shape), a in zip(field_shapes, inputs):
             if tuple(a.shape[-2:]) != tuple(shape):
                 raise ValueError(
@@ -353,9 +387,11 @@ class ShardMapHalo:
                 field_shapes, outs_spec, self.slab.halo.n_shards, self.n_dev
             )
             self._plans[key] = plan
+        return plan
+
+    def _specs(self, plan, inputs):
         from jax.sharding import PartitionSpec as P
 
-        nf = len(inputs)
         spec_in = tuple(
             P(SHARD_AXIS, *([None] * (a.ndim - 1))) for a in inputs
         )
@@ -363,6 +399,11 @@ class ShardMapHalo:
             P(SHARD_AXIS, *([None] * (inputs[o.src_field].ndim - 1)))
             for o in plan.outs
         )
+        return spec_in, spec_out
+
+    def _run(self, key, field_shapes, outs_spec, inputs):
+        plan = self._plan_for(key, field_shapes, outs_spec, inputs)
+        spec_in, spec_out = self._specs(plan, inputs)
         fn = jax.shard_map(
             lambda *xs: _body(plan, *xs),
             mesh=self.mesh,
@@ -370,6 +411,34 @@ class ShardMapHalo:
             out_specs=spec_out,
         )
         return fn(*inputs)
+
+    def _run_start(self, key, field_shapes, outs_spec, inputs):
+        """Two-phase exchange (reference ``start_halo_update(...).wait()``,
+        docs/util/communication.rst): phase 1 issues ALL the ppermute rounds
+        and returns an AsyncHaloUpdate handle; compute placed before
+        ``.wait()`` is dataflow-independent of the collectives and can be
+        overlapped by the scheduler. ``.wait()`` assembles the ghost slabs
+        (pure local compute)."""
+        from jax.sharding import PartitionSpec as P
+
+        plan = self._plan_for(key, field_shapes, outs_spec, inputs)
+        spec_in, spec_out = self._specs(plan, inputs)
+        start_fn = jax.shard_map(
+            lambda *xs: _body_start(plan, *xs),
+            mesh=self.mesh,
+            in_specs=spec_in,
+            out_specs=P(SHARD_AXIS, *([None] * len(inputs[0].shape[1:-2]))
+                        + [None]),
+        )
+        combined = start_fn(*inputs)
+        finish_fn = jax.shard_map(
+            lambda c, *xs: _body_finish(plan, c, *xs),
+            mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS, *([None] * (combined.ndim - 1))),)
+            + spec_in,
+            out_specs=spec_out,
+        )
+        return AsyncHaloUpdate(lambda: finish_fn(combined, *inputs))
 
     # -- public API (mirrors SlabHalo) ------------------------------------
     def update_scalar(self, q, stagger="center", fold="x"):
@@ -407,6 +476,30 @@ class ShardMapHalo:
         stacked = jnp.stack(qs, axis=1)
         ox, oy = self.update_scalar_folds(stacked, stagger=stagger)
         return [(ox[:, i], oy[:, i]) for i in range(len(qs))]
+
+    def start_update_scalars_folds(self, qs, stagger="center"):
+        """Async both-folds exchange of several fields: collectives issued
+        now, slab assembly deferred to ``.wait()`` (returns the same
+        [(qx, qy), ...] list as update_scalars_folds)."""
+        qs = list(qs)
+        stacked = qs[0] if len(qs) == 1 else jnp.stack(qs, axis=1)
+        ops_x = self.slab._scalar_ops_for(stagger, "x")
+        ops_y = self.slab._scalar_ops_for(stagger, "y")
+        key = ("scalar_folds", stagger, stacked.ndim, stacked.shape[1:-2])
+        handle = self._run_start(
+            key,
+            [("q", self._shape_of(stagger))],
+            [("qx", "q", ops_x), ("qy", "q", ops_y)],
+            (stacked,),
+        )
+        if len(qs) == 1:
+            return AsyncHaloUpdate(lambda: [handle.wait()])
+
+        def unpack():
+            ox, oy = handle.wait()
+            return [(ox[:, i], oy[:, i]) for i in range(len(qs))]
+
+        return AsyncHaloUpdate(unpack)
 
     def _vector_ops(self, kind, fold):
         key = (kind, fold)

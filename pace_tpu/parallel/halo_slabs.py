@@ -423,22 +423,13 @@ class SlabHalo:
         if sm is not None:
             return sm.update_scalars(qs, stagger=stagger, fold=fold)
         if self._use_pallas():
-            from .halo_pallas import exchange_pallas_multi
-
-            ops = self._scalar_ops_for(stagger, fold)
-            inputs = {f"q{i}": q for i, q in enumerate(qs)}
-            ops_per_out = [
-                (name, op)
-                for name in inputs
-                for op in self._rekey_ops(ops, "q", name)
+            # one kernel call PER FIELD: measured at C192 (npz=79 f32), the
+            # many-field single call runs ~1.6x slower per field-pass than
+            # per-field calls — big multi-array blocks force block_k=1-2 and
+            # multiply the per-grid-step fixed cost of the strip copies
+            return [
+                self.update_scalar(q, stagger=stagger, fold=fold) for q in qs
             ]
-            out = exchange_pallas_multi(
-                inputs,
-                [(name, name) for name in inputs],
-                ops_per_out,
-                (self._token, "scalars", stagger, fold, len(qs), qs[0].ndim),
-            )
-            return [out[f"q{i}"] for i in range(len(qs))]
         stacked = jnp.stack(qs, axis=1)  # (S, nf, ...)
         out = self.update_scalar(stacked, stagger=stagger, fold=fold)
         return [out[:, i] for i in range(len(qs))]
@@ -522,38 +513,29 @@ class SlabHalo:
         if len(qs) == 1:
             return [self.update_scalar_folds(qs[0], stagger=stagger)]
         if self._use_pallas():
-            from .halo_pallas import exchange_pallas_multi
-
-            ops_x = self._scalar_ops_for(stagger, "x")
-            ops_y = self._scalar_ops_for(stagger, "y")
-            inputs = {f"q{i}": q for i, q in enumerate(qs)}
-            outputs = []
-            ops_per_out = []
-            for name in inputs:
-                outputs += [(name + "x", name), (name + "y", name)]
-                ops_per_out += [
-                    (name + "x", op) for op in self._rekey_ops(ops_x, "q", name)
-                ] + [
-                    (name + "y", op) for op in self._rekey_ops(ops_y, "q", name)
-                ]
-            out = exchange_pallas_multi(
-                inputs,
-                outputs,
-                ops_per_out,
-                (
-                    self._token,
-                    "scalars_folds",
-                    stagger,
-                    len(qs),
-                    qs[0].ndim,
-                ),
-            )
-            return [
-                (out[f"q{i}x"], out[f"q{i}y"]) for i in range(len(qs))
-            ]
+            # per-field kernel calls (see update_scalars: measured ~1.6x
+            # faster per field-pass than one many-field call)
+            return [self.update_scalar_folds(q, stagger=stagger) for q in qs]
         stacked = jnp.stack(qs, axis=1)
         ox, oy = self.update_scalar_folds(stacked, stagger=stagger)
         return [(ox[:, i], oy[:, i]) for i in range(len(qs))]
+
+    def start_update_scalars_folds(self, qs, stagger: str = "center"):
+        """Async both-folds exchange (reference
+        ``start_halo_update(...).wait()``, docs/util/communication.rst):
+        on a device mesh the collectives are issued HERE and only the local
+        slab assembly runs at ``.wait()`` — interior compute placed between
+        the two is dataflow-independent of the ppermutes and overlaps with
+        them on ICI. Single-device: nothing is in flight (the exchange is
+        on-chip data movement); the handle simply defers the exchange."""
+        sm = self._shardmap()
+        if sm is not None:
+            return sm.start_update_scalars_folds(qs, stagger=stagger)
+        from .halo_shardmap import AsyncHaloUpdate
+
+        return AsyncHaloUpdate(
+            lambda: self.update_scalars_folds(qs, stagger=stagger)
+        )
 
     @_halo_scope
     def update_vector_folds(self, u, v, kind: str = "dgrid"):
@@ -566,21 +548,9 @@ class SlabHalo:
             key = (kind, fold)
             if key not in self._vector_ops:
                 self._vector_ops[key] = self._build_vector_ops(kind, fold)
-        if self._use_pallas():
-            from .halo_pallas import exchange_pallas_multi
-
-            ops_x = self._vector_ops[(kind, "x")]
-            ops_y = self._vector_ops[(kind, "y")]
-            out = exchange_pallas_multi(
-                {"u": u, "v": v},
-                [("ux", "u"), ("vx", "v"), ("uy", "u"), ("vy", "v")],
-                [("ux", op) for op in ops_x["u"]]
-                + [("vx", op) for op in ops_x["v"]]
-                + [("uy", op) for op in ops_y["u"]]
-                + [("vy", op) for op in ops_y["v"]],
-                (self._token, "vector_folds", kind, u.ndim),
-            )
-            return (out["ux"], out["vx"]), (out["uy"], out["vy"])
+        # two per-fold calls (pallas and XLA alike): measured at C192 the
+        # 2-in/4-out single kernel runs at ~0.33 ms per field-pass vs ~0.24
+        # for the per-fold 2-in/2-out calls
         u_x, v_x = self.update_vector(u, v, kind=kind, fold="x")
         u_y, v_y = self.update_vector(u, v, kind=kind, fold="y")
         return (u_x, v_x), (u_y, v_y)

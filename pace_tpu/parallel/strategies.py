@@ -53,6 +53,16 @@ class _FoldsDefaultsMixin:
             self.update_vector(u, v, kind=kind, fold="y"),
         )
 
+    def start_update_scalars_folds(self, qs, stagger: str = "center"):
+        """Async API surface parity (reference start_halo_update): strategy
+        backends have no collectives in flight — the handle defers the
+        whole exchange to .wait()."""
+        from .halo_shardmap import AsyncHaloUpdate
+
+        return AsyncHaloUpdate(
+            lambda: self.update_scalars_folds(qs, stagger=stagger)
+        )
+
 
 class ConstantFillHalo(_FoldsDefaultsMixin):
     """Fill every ghost region with a constant (reference NullComm,

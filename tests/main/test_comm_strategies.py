@@ -124,6 +124,7 @@ def test_driver_pair_debug(tmp_path):
     d.cleanup()
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_pair_debug_localizes_fault_to_stage():
     """An injected one-ULP fault in the replica's input is localized to the
     right stage/variable by the error message (VERDICT r1 item 6 done

@@ -22,7 +22,7 @@ def _config_dict(tmp_path, mesh: bool, n_devices: int = 8) -> dict:
         "nz": 6,
         "layout": [2, 2],  # S = 24 shards -> 3 per device at 8 devices
         "dt_atmos": 450.0,
-        "seconds": 900,  # two steps
+        "seconds": 450,  # one step (fast tier; SPMD invariance shows in one)
         "precision": 64,
         "initialization": {"type": "baroclinic"},
         "mesh_config": {"enabled": mesh, "n_devices": n_devices},

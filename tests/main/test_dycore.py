@@ -51,6 +51,7 @@ def _tracer_mass(state, mt, h, iq=0):
     return float(((q * dp).sum(axis=1) * area).sum())
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_dycore_stable_and_conservative(model):
     spec, mt, grid, core, state = model
     h = spec.n_halo

@@ -47,7 +47,12 @@ def _clear_mesh():
 
 @pytest.mark.parametrize(
     "n_dev,layout",
-    [(8, (2, 2)), (6, (2, 2)), (4, (2, 1)), (3, (1, 1))],
+    [
+        (8, (2, 2)),
+        pytest.param(6, (2, 2), marks=pytest.mark.slow),
+        pytest.param(4, (2, 1), marks=pytest.mark.slow),
+        pytest.param(3, (1, 1), marks=pytest.mark.slow),
+    ],
 )
 def test_shardmap_matches_dense_exactly(n_dev, layout, rng):
     if len(jax.devices()) < n_dev:

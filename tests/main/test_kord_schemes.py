@@ -151,6 +151,7 @@ def test_pallas_interpret_matches_xla_per_kord(rng):
         np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-13)
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_omga_computed_by_step():
     """omga (dp/dt) is computed in the remap stage (VERDICT r1 missing #3):
     after one dycore step from a perturbed baroclinic state it is finite,

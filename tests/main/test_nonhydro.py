@@ -66,6 +66,7 @@ def test_sim1_compression_raises_pressure():
     assert float(w2[:, -1].mean()) > 0.0
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_nonhydro_dycore_stable():
     from pace_tpu.grid.generation import GridSpec, MetricTerms
     from pace_tpu.grid.grid_data import GridData

@@ -46,6 +46,7 @@ def test_generate_calibrate_validate(config_path, tmp_path):
     assert main(["validate", config_path, "-r", ref, "-t", th]) == 0
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_validate_catches_config_change(config_path, tmp_path):
     """A physics-relevant config change must fail validation (thresholds are
     round-off-scale, a different n_split is far outside them)."""

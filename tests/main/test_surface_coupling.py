@@ -59,6 +59,7 @@ def test_land_surface_full_loop():
     assert float(sfc2.precip.min()) >= 0.0
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_seaice_surface_full_loop():
     state, grid = _setup(qv0=2e-3)
     phys = Physics(
@@ -76,6 +77,7 @@ def test_seaice_surface_full_loop():
     assert float(sfc.ice.tsfc.max()) <= 273.16 + 1e-6
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_surface_none_unchanged_behavior():
     """type 'none' (default) reproduces the uncoupled physics exactly."""
     state, grid = _setup()
@@ -89,6 +91,7 @@ def test_surface_none_unchanged_behavior():
     assert p_none.surface_state is None
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_interactive_skin_feeds_radiation():
     """A hot land surface must radiate more LW up into the column than a cold
     one: lowest-layer heating differs between the two."""
@@ -187,6 +190,7 @@ def test_driver_level_surface_restart(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_mixed_surface_blends_by_latitude():
     """Earthlike mixed surface: LSM skin on the land band, sea-ice skin
     poleward; the coupled loop runs and blends fluxes by the static mask."""
@@ -215,6 +219,7 @@ def test_mixed_surface_blends_by_latitude():
     assert ts[tropic].mean() > ts[polar].mean()
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_deep_convection_in_coupled_loop():
     """Full stack incl. deep convection: runs, physical, convective precip
     feeds the surface carry."""
@@ -310,6 +315,7 @@ def test_output_initial_state_with_physics_diagnostics(tmp_path):
         assert np.isnan(sm).any() and np.isfinite(sm).any()
 
 
+@pytest.mark.slow  # full tier: fast-tier gate kept elsewhere (docs/testing.md re-tier, VERDICT r2 #9)
 def test_restart_resumes_simulation_clock(tmp_path):
     from pace_tpu.driver.config import DriverConfig
     from pace_tpu.driver.driver import Driver

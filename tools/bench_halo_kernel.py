@@ -94,6 +94,14 @@ def main():
         "sync_vector_interfaces": (
             j(lambda uu, vv: halo.sync_vector_interfaces(uu, vv)),
             (u, v), 4 * fb),
+        "scalars_folds_x4_unbatched": (
+            j(lambda a, b, c, d: tuple(
+                halo.update_scalar_folds(x)[0] for x in (a, b, c, d)
+            )),
+            (q, q + 1, q + 2, q + 3), 12 * fb),
+        "vector_folds_unbatched": (
+            j(lambda uu, vv: halo.update_vector(uu, vv, fold="x")),
+            (u, v), 4 * fb),
     }
     for name, (fn, args, gb) in cases.items():
         s = timeit(fn, *args)

@@ -29,6 +29,8 @@ import re
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -73,6 +75,12 @@ def main():
     ap.add_argument("--npz", type=int, default=16)
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument(
+        "--weak", action="store_true",
+        help="also run a weak-scaling series (per-device work ~constant: "
+        "n_tile grows ~sqrt(N)); the honest variant for an oversubscribed "
+        "virtual CPU mesh (VERDICT r2 #4)",
+    )
     args = ap.parse_args()
 
     from pace_tpu.grid.generation import GridSpec, MetricTerms
@@ -83,26 +91,21 @@ def main():
 
     device_counts = [int(x) for x in args.devices.split(",")]
     layout = (2, 2)  # S = 24, divisible by 1/2/4/6/8/12/24
-    spec = GridSpec(n_tile=args.n_tile, npz=args.npz, layout=layout)
-    mt = MetricTerms.generate(spec)
-    grid = GridData.from_metric_terms(mt, dtype=jnp.float32)
-    cfg = DynamicalCoreConfig(
-        npz=args.npz, k_split=1, n_split=4, hydrostatic=False,
-        nord=2, d4_bg=0.15, dddmp=0.2, do_vort_damp=True, vtdm4=0.02,
-    )
-    core = DynamicalCore(grid, mt.halo, cfg, timestep=300.0)
-    state0 = DycoreState.from_baroclinic_init(mt, dtype=jnp.float32)
 
-    results = {"n_tile": args.n_tile, "npz": args.npz, "layout": list(layout),
-               "backend": jax.default_backend(),
-               "note": ("virtual CPU mesh: wall times are trend-only "
-                        "(oversubscribed host cores); collective profile is "
-                        "the load-bearing artifact"),
-               "runs": []}
-    for n_dev in device_counts:
-        if len(jax.devices()) < n_dev:
-            continue
-        entry = {"devices": n_dev}
+    def build(n_tile):
+        spec = GridSpec(n_tile=n_tile, npz=args.npz, layout=layout)
+        mt = MetricTerms.generate(spec)
+        grid = GridData.from_metric_terms(mt, dtype=jnp.float32)
+        cfg = DynamicalCoreConfig(
+            npz=args.npz, k_split=1, n_split=4, hydrostatic=False,
+            nord=2, d4_bg=0.15, dddmp=0.2, do_vort_damp=True, vtdm4=0.02,
+        )
+        core = DynamicalCore(grid, mt.halo, cfg, timestep=300.0)
+        state0 = DycoreState.from_baroclinic_init(mt, dtype=jnp.float32)
+        return core, state0
+
+    def measure(core, state0, n_dev, n_tile):
+        entry = {"devices": n_dev, "n_tile": n_tile}
         if n_dev == 1:
             M.set_shard_mesh(None)
             state = state0
@@ -126,8 +129,27 @@ def main():
         entry["step_wall_s"] = round(
             (time.perf_counter() - t0) / args.steps, 4
         )
-        results["runs"].append(entry)
+        cells = 6 * n_tile * n_tile * args.npz
+        entry["cells_per_device"] = cells // n_dev
+        entry["cells_per_s_per_device"] = round(
+            cells / entry["step_wall_s"] / n_dev, 1
+        )
         M.set_shard_mesh(None)
+        return entry
+
+    core, state0 = build(args.n_tile)
+
+    results = {"n_tile": args.n_tile, "npz": args.npz, "layout": list(layout),
+               "backend": jax.default_backend(),
+               "host_cpu_count": os.cpu_count(),
+               "note": ("virtual CPU mesh: wall times are trend-only "
+                        "(oversubscribed host cores); collective profile is "
+                        "the load-bearing artifact"),
+               "runs": []}
+    for n_dev in device_counts:
+        if len(jax.devices()) < n_dev:
+            continue
+        results["runs"].append(measure(core, state0, n_dev, args.n_tile))
 
     # scaling efficiency vs single device (per-device work is 1/N of global)
     base = next((r for r in results["runs"] if r["devices"] == 1), None)
@@ -136,6 +158,31 @@ def main():
             r["speedup_vs_1dev"] = round(
                 base["step_wall_s"] / r["step_wall_s"], 3
             )
+
+    if args.weak:
+        # per-device-constant-work series: the strong-scaling wall times on
+        # an oversubscribed virtual CPU mesh conflate device count with host
+        # thread contention; holding cells/device ~constant makes the
+        # efficiency number meaningful (VERDICT r2 #4). n_tile ~ 16*sqrt(N),
+        # rounded to the layout divisibility.
+        weak_tiles = {1: 16, 2: 24, 4: 32, 8: 46}
+        results["weak_runs"] = []
+        for n_dev in device_counts:
+            nt = weak_tiles.get(n_dev)
+            if nt is None or len(jax.devices()) < n_dev:
+                continue
+            core_w, state_w = build(nt)
+            results["weak_runs"].append(measure(core_w, state_w, n_dev, nt))
+        base_w = next(
+            (r for r in results["weak_runs"] if r["devices"] == 1), None
+        )
+        if base_w:
+            for r in results["weak_runs"]:
+                r["weak_efficiency"] = round(
+                    r["cells_per_s_per_device"]
+                    / base_w["cells_per_s_per_device"],
+                    3,
+                )
     json.dump(results, sys.stdout, indent=1)
     print()
 
