@@ -238,7 +238,7 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         with jax.named_scope("UpdateDZ"):
             zh_cx = heights_from_delz(delz, phis_cx)
             zh_cy = heights_from_delz(delz_y, phis_cy)
-            zh_c, ws_c = updatedz_c(zh_cx, zh_cy, cg.ut, cg.vt, grid, dt2)
+            zh_c, ws_c = updatedz_c(zh_cx, zh_cy, cg.xfx, cg.yfx, grid, dt2)
         delz_c = zh_c[..., 1:, :, :] - zh_c[..., :-1, :, :]
         with jax.named_scope("RiemannC"):
             pe_full_c, delz_c_new = riem_solver_c(
@@ -319,14 +319,11 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         # (phis exchanged per fold so corner-slot surface heights match the
         # fold of each sweep; its halo is refreshed once per acoustic call —
         # phis is constant over the substeps)
-        if delz_y is None:
-            delz_y = halo.update_scalar(delz, fold="y")
-        if phis_folds is None:
-            phis_folds = halo.update_scalar_folds(phis)
-        phis_x, phis_y = phis_folds
+        # interface heights already built for updatedz_c from the SAME delz
+        # and phis folds — reuse (saves two reverse-cumsum passes/substep)
+        phis_x, _phis_y = phis_folds
+        zh, zh_y = zh_cx, zh_cy
         with jax.named_scope("UpdateDZ"):
-            zh = heights_from_delz(delz, phis_x)
-            zh_y = heights_from_delz(delz_y, phis_y)
             zh_adv = updatedz_d(
                 zh, zh_y, ds.crx, ds.cry, ds.xfx, ds.yfx, grid, dt
             )

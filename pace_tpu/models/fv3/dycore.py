@@ -75,6 +75,11 @@ class DynamicalCoreConfig:
     do_sat_adj: bool = False
     nwat: int = 6
     n_split_tracer: int = 1
+    #: derive the tracer sub-cycle count from the global max courant number
+    #: each step (reference tracer_2d_1l behavior — a CFL-violating state
+    #: sub-cycles harder instead of silently corrupting tracers); n_split_
+    #: tracer becomes the minimum. Traced while-loop count: no recompile.
+    tracer_dynamic_subcycle: bool = True
     a_imp: float = 1.0
     p_fac: float = 0.05
     beta: float = 0.0
@@ -271,6 +276,7 @@ class DynamicalCore:
                     grid,
                     hord=cfg.hord_tr,
                     n_split=cfg.n_split_tracer,
+                    dynamic=cfg.tracer_dynamic_subcycle,
                 )
             delp, pt = res.delp, res.pt
             if ckpt is not None:

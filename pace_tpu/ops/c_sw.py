@@ -52,6 +52,10 @@ class CGridState:
     ua: jnp.ndarray
     va: jnp.ndarray
     divg_d: jnp.ndarray  # corner divergence of the D-grid winds (for damping)
+    #: time-integrated upwind area fluxes of ut/vt over dt2 (reused by
+    #: updatedz_c so the sin_sg upwind factors are not recomputed there)
+    xfx: jnp.ndarray = None
+    yfx: jnp.ndarray = None
 
 
 def corner_vorticity(uc, vc, grid, absolute: bool = True):
@@ -256,4 +260,6 @@ def c_sw(u, v, delp, pt, grid, halo, dt2: float):
         ua=ua,
         va=va,
         divg_d=divg_d,
+        xfx=xfx,
+        yfx=yfx,
     )

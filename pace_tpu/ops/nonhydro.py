@@ -275,7 +275,7 @@ def heights_from_delz(delz, phis):
     return zh
 
 
-def updatedz_c(zh_x, zh_y, ut, vt, grid, dt2: float):
+def updatedz_c(zh_x, zh_y, xfx_l, yfx_l, grid, dt2: float):
     """C-grid interface-height update before riem_solver_c (reference
     updatedzc, SURVEY.md §2.3 updatedzc/updatedzd row; VERDICT r2 #7): the
     provisional C-grid solve must see heights advected by the same C-grid
@@ -283,14 +283,14 @@ def updatedz_c(zh_x, zh_y, ut, vt, grid, dt2: float):
     velocity ws_c those heights imply.
 
     ``zh_x``/``zh_y``: interface heights (.., K+1, Y, X) with x/y corner
-    folds; ``ut``/``vt``: contravariant C-grid layer winds. First-order
-    upwind (matching the provisional delp/pt transport of c_sw — the
-    reference's update_dz_c is likewise low-order).
+    folds; ``xfx_l``/``yfx_l``: the LAYER upwind area fluxes already
+    computed by c_sw for the provisional delp/pt transport (CGridState
+    .xfx/.yfx — averaged to interfaces here). First-order upwind (matching
+    that transport — the reference's update_dz_c is likewise low-order).
 
     Returns (zh_new, ws_c) with the bottom interface pinned back to the
     surface.
     """
-    from .c_sw import c_grid_area_fluxes
 
     def to_iface(f):
         mid = 0.5 * (f[..., :-1, :, :] + f[..., 1:, :, :])
@@ -298,7 +298,7 @@ def updatedz_c(zh_x, zh_y, ut, vt, grid, dt2: float):
             [f[..., :1, :, :], mid, f[..., -1:, :, :]], axis=-3
         )
 
-    xfx, yfx = c_grid_area_fluxes(to_iface(ut), to_iface(vt), grid, dt2)
+    xfx, yfx = to_iface(xfx_l), to_iface(yfx_l)
     zx = jnp.where(
         xfx > 0.0, x_cell_to_left_iface(zh_x), x_cell_to_right_iface(zh_x)
     )

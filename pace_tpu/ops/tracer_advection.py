@@ -10,10 +10,13 @@ operators and halo gathers run once over the whole tracer block — on TPU this
 keeps tensors large and avoids per-tracer dispatch (the reference loops
 fvtp2d over tracers one at a time).
 
-The sub-cycle count is static (config ``n_split_tracer``); the reference
-derives it from the max courant number at runtime, which would force a
-recompile-per-step under XLA. Callers pick a safe static value for their
-timestep (1 or 2 at typical acoustic-loop settings).
+The sub-cycle count is either static (config ``n_split_tracer``) or derived
+from the GLOBAL max courant number each step (``dynamic=True`` — the
+reference tracer_2d_1l behavior): n = floor(max|c|) + 1, evaluated as a
+traced scalar inside one compiled program (a ``lax.while_loop`` trip count —
+no recompile; under a sharded mesh the max is a global all-reduce so every
+device runs the same count). The dynamic path guarantees CFL-safe tracer
+transport when a storm pushes the winds past the static assumption.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ def advect_tracers(
     grid,
     hord: int = 8,
     n_split: int = 1,
+    dynamic: bool = False,
 ):
     """Advance tracers through the accumulated dynamics mass fluxes.
 
@@ -59,13 +63,32 @@ def advect_tracers(
     hord:
         PPM variant for tracers (reference namelist hord_tr; monotone 8 default).
     n_split:
-        static sub-cycle count.
+        static sub-cycle count (``dynamic=False``), or the MINIMUM count
+        when ``dynamic=True``.
+    dynamic:
+        derive the sub-cycle count from the global max courant number
+        (reference tracer_2d_1l: n = floor(max|c|) + 1), as a traced
+        while-loop trip count.
 
     Returns
     -------
     (q_new, dp2): updated tracers and the final pressure thickness.
     """
-    frac = 1.0 / float(n_split)
+    import jax
+
+    from ._dispatch import use_pallas
+
+    if dynamic:
+        # global CFL: max |courant| over every face of the whole cube
+        # (an all-reduce when S is sharded; every device gets the same n)
+        c_max = jnp.maximum(jnp.max(jnp.abs(crx)), jnp.max(jnp.abs(cry)))
+        n_dyn = jnp.maximum(
+            jnp.floor(c_max).astype(jnp.int32) + 1, n_split
+        )
+        frac = 1.0 / n_dyn.astype(crx.dtype)
+    else:
+        n_dyn = None
+        frac = 1.0 / float(n_split)
     crx = crx * frac
     cry = cry * frac
     xfx = xfx * frac
@@ -74,10 +97,6 @@ def advect_tracers(
     mfy = mfy * frac
     rarea = grid.rarea
 
-    import jax
-
-    from ._dispatch import use_pallas
-
     # the batched branch is exercised on CPU too (interpret-mode kernel) by
     # monkeypatching _dispatch.use_pallas in tests — the callers' wiring
     # (5-D halo update, dp broadcasts, 5-D interface sync) is then covered
@@ -85,7 +104,7 @@ def advect_tracers(
     use_batched = use_pallas("fvtp2d") and q.ndim == 5
     interpret = jax.default_backend() != "tpu"
 
-    for _ in range(n_split):
+    def one_subcycle(q, dp1):
         dp2 = dp1 + (x_iface_diff(mfx) + y_iface_diff(mfy)) * bcast_k(rarea, dp1)
 
         if use_batched:
@@ -136,5 +155,15 @@ def advect_tracers(
 
             q_m = jnp.moveaxis(q, 1, 0)  # (nq, S, K, Y, X) for lax.map
             q = jnp.moveaxis(jax.lax.map(one_tracer, q_m), 0, 1)
-        dp1 = dp2
+        return q, dp2
+
+    if n_dyn is None:
+        for _ in range(n_split):
+            q, dp1 = one_subcycle(q, dp1)
+    else:
+        # traced trip count: one compiled body, CFL-adaptive iterations
+        # (reference tracer_2d_1l's runtime n_split)
+        q, dp1 = jax.lax.fori_loop(
+            0, n_dyn, lambda i, c: one_subcycle(*c), (q, dp1)
+        )
     return q, dp1

