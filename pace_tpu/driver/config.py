@@ -53,6 +53,8 @@ class PhysicsEnableConfig:
     microphysics: Optional[dict] = None
     pbl: Optional[dict] = None
     radiation: Optional[dict] = None
+    #: multi-band (RRTMG-class) radiation options -> BandRadiationConfig
+    band_radiation: Optional[dict] = None
     shallow_convection: Optional[dict] = None
     deep_convection: Optional[dict] = None
     held_suarez: Optional[dict] = None

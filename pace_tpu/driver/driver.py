@@ -177,6 +177,7 @@ class Driver:
             from ..models.shield.sas import (
                 DeepConvectionConfig, ShallowConvectionConfig,
             )
+            from ..models.shield.band_radiation import BandRadiationConfig
             from ..models.shield.held_suarez import HeldSuarezConfig
             from ..models.shield.surface import SurfaceConfig
             from ..utils.registry import from_dict
@@ -215,6 +216,9 @@ class Driver:
                 surface_config=from_dict(SurfaceConfig, pc.surface or {}),
                 held_suarez_config=from_dict(
                     HeldSuarezConfig, pc.held_suarez or {}
+                ),
+                band_radiation_config=from_dict(
+                    BandRadiationConfig, pc.band_radiation or {}
                 ),
                 halo=self.halo,
             )

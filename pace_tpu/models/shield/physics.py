@@ -28,7 +28,8 @@ from .microphysics import MicrophysicsConfig, microphysics_step
 
 PHYSICS_PACKAGES = (
     "GFS_microphysics", "GFS_PBL", "GFS_shallow_convection",
-    "GFS_deep_convection", "held_suarez", "gray_radiation"
+    "GFS_deep_convection", "held_suarez", "gray_radiation",
+    "band_radiation",
 )
 
 _IQ = {name: i for i, name in enumerate(TRACER_NAMES)}
@@ -164,7 +165,8 @@ class Physics:
                  fv_sg_adj: float = 0.0, pbl_config=None,
                  radiation_config=None, sas_config=None,
                  deep_config=None, surface_config=None, halo=None,
-                 checkpointer=None, held_suarez_config=None):
+                 checkpointer=None, held_suarez_config=None,
+                 band_radiation_config=None):
         for s in schemes:
             if s not in PHYSICS_PACKAGES:
                 raise ValueError(
@@ -198,6 +200,11 @@ class Physics:
 
             held_suarez_config = HeldSuarezConfig()
         self.held_suarez_config = held_suarez_config
+        if band_radiation_config is None:
+            from .band_radiation import BandRadiationConfig
+
+            band_radiation_config = BandRadiationConfig()
+        self.band_radiation_config = band_radiation_config
         self.halo = halo  # for the tendency halo update (None = zero halos)
         #: optional stage checkpointer (pace_tpu.testing.checkpointer) fired
         #: at Physics-In/Physics-Out — the reference's physics savepoint
@@ -370,6 +377,24 @@ class Physics:
                         time_seconds=time_seconds,
                     ),
                     state.ps.shape,
+                )
+                state = dataclasses.replace(state, pt=pt_new)
+        if "band_radiation" in self.schemes:
+            # RRTMG-class correlated-k multi-band scheme (band_radiation.py)
+            from .band_radiation import band_radiation_step_fluxes
+
+            with jax.named_scope("Radiation"):
+                qv = state.q[:, _IQ["qvapor"]]
+                qc = (
+                    state.q[:, _IQ["qliquid"]] + state.q[:, _IQ["qice"]]
+                )
+                t_surf = None
+                if sfc is not None:
+                    t_surf = self._surface[3](sfc)
+                pt_new, lw_dn_sfc, sw_dn_sfc = band_radiation_step_fluxes(
+                    state.pt, state.pkz, state.pe, state.ps,
+                    self.timestep, self.band_radiation_config,
+                    qv=qv, qc=qc, t_surf=t_surf,
                 )
                 state = dataclasses.replace(state, pt=pt_new)
         # --- interactive lower boundary: LSM / sea ice produce the surface

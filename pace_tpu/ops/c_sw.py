@@ -174,14 +174,14 @@ def c_sw(u, v, delp, pt, grid, halo, dt2: float):
     consumer needs — the analog of the reference's per-sweep fill_corners
     calls inside c_sw/d2a2c.
     """
-    from ..ops.fxadv import contravariant_c_winds
+    from ..ops.fxadv import contravariant_ut, contravariant_vt
 
     ua, va, uc, vc, _ut, _vt = d2a2c_vect(u, v, grid)
     uc, vc = halo.sync_vector_interfaces(uc, vc, kind="cgrid")
     uc_x, vc_x = halo.update_vector(uc, vc, kind="cgrid", fold="x")
     uc_y, vc_y = halo.update_vector(uc, vc, kind="cgrid", fold="y")
-    ut, _ = contravariant_c_winds(uc_x, vc_x, grid)
-    _, vt = contravariant_c_winds(uc_y, vc_y, grid)
+    ut = contravariant_ut(uc_x, vc_x, grid)
+    vt = contravariant_vt(uc_y, vc_y, grid)
     ua_x, va_x = halo.update_vector(ua, va, kind="agrid", fold="x")
     ua_y, va_y = halo.update_vector(ua, va, kind="agrid", fold="y")
 

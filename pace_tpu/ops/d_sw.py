@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from .delnflux import delnflux, lap_corner
 from .fvtp2d import fvtp2d_best as fvtp2d
-from .fxadv import flux_prep
+from .fxadv import flux_prep_x, flux_prep_y
 from .stencil_utils import (
     bcast_k,
     x_cell_to_left_iface,
@@ -160,8 +160,8 @@ def d_sw(
     """
     delp = delp_x
     pt = pt_x
-    crx, _, xfx, _, ut, _ = flux_prep(uc_x, vc_x, grid, dt)
-    _, cry, _, yfx, _, vt = flux_prep(uc_y, vc_y, grid, dt)
+    crx, xfx, ut = flux_prep_x(uc_x, vc_x, grid, dt)
+    cry, yfx, vt = flux_prep_y(uc_y, vc_y, grid, dt)
 
     rarea = grid.rarea
 

@@ -208,19 +208,24 @@ def exchange_pallas_multi(
     )
     if block_k is None:
         # VMEM budget: each input and output block double-buffered by the
-        # pipeline -> 2 copies of each per-k slab resident at once. Budget
-        # close to the chip's VMEM (128 MB on v5e): small block_k multiplies
-        # the per-grid-step fixed cost of the ~100s of strip copies/rotations
+        # pipeline -> 2 copies of each per-k slab resident at once, in the
+        # PADDED (8, 128) tile layout — at small shard shapes the padding
+        # is the dominant term (54x55 pads 2.4x; an unpadded budget
+        # overflowed VMEM at C48). Small block_k multiplies the
+        # per-grid-step fixed cost of the ~100s of strip copies/rotations
         # per block — measured at C192, the 4-field both-folds exchange ran
         # 2.6x slower at block_k=1 than the single-field rate.
+        def padded(y, x, itemsize):
+            return ((y + 7) // 8 * 8) * ((x + 127) // 128 * 128) * itemsize
+
         per_k = 2 * sum(
-            a.shape[0] * a.shape[-2] * a.shape[-1] * a.dtype.itemsize
+            a.shape[0] * padded(a.shape[-2], a.shape[-1], a.dtype.itemsize)
             for a in arrays
         ) + 2 * sum(
-            arrays[0].shape[0] * y * x * arrays[0].dtype.itemsize
+            arrays[0].shape[0] * padded(y, x, arrays[0].dtype.itemsize)
             for (y, x) in out_shapes
         )
-        block_k = max(1, (64 * 1024 * 1024) // max(per_k, 1))
+        block_k = max(1, (72 * 1024 * 1024) // max(per_k, 1))
     bk = min(block_k, arrays[0].shape[1])
     _OPS_REGISTRY[ops_key] = (
         tuple(in_names),

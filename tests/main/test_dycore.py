@@ -24,7 +24,11 @@ def model():
     mt = MetricTerms.generate(spec)
     grid = GridData.from_metric_terms(mt, dtype=jnp.float64)
     cfg = DynamicalCoreConfig(
-        npz=10, k_split=1, n_split=4, hydrostatic=True, nord=1, d4_bg=0.12
+        npz=10, k_split=1, n_split=4, hydrostatic=True, nord=1, d4_bg=0.12,
+        # static: these tests pin determinism/no-retrace/conservation, not
+        # CFL adaptivity (covered by test_advection); the while-loop form
+        # compiles ~30s slower on CPU
+        tracer_dynamic_subcycle=False,
     )
     core = DynamicalCore(grid, mt.halo, cfg, timestep=900.0)
     state = DycoreState.from_baroclinic_init(mt, perturbation=True, dtype=jnp.float64)
