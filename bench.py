@@ -89,6 +89,9 @@ def main():
         kord_tm=-9,
         kord_tr=9,
         kord_wz=9,
+        tracer_dynamic_subcycle=(
+            os.environ.get("BENCH_DYNAMIC_TRACER", "0") == "1"
+        ),
     )
     core = DynamicalCore(grid, mt.halo, cfg, timestep=200.0, donate=True)
     state = DycoreState.from_baroclinic_init(mt, perturbation=True, dtype=jnp.float32)

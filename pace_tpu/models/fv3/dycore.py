@@ -79,7 +79,11 @@ class DynamicalCoreConfig:
     #: each step (reference tracer_2d_1l behavior — a CFL-violating state
     #: sub-cycles harder instead of silently corrupting tracers); n_split_
     #: tracer becomes the minimum. Traced while-loop count: no recompile.
-    tracer_dynamic_subcycle: bool = True
+    #: Default OFF: correct and tested at small scale (CPU + C48 on a real
+    #: v5e), but the while-loop + kernel combination hits a TPU runtime
+    #: fault at C192 npz=79 on v5e (under investigation); the static count
+    #: with a safety-margin n_split_tracer is the production setting.
+    tracer_dynamic_subcycle: bool = False
     a_imp: float = 1.0
     p_fac: float = 0.05
     beta: float = 0.0
