@@ -54,8 +54,7 @@ def _remap_kernel(
     da_s[...] = br - bl
     a6_s[...] = -3.0 * (bl + br)
     dp1_s[...] = dp1
-    pe1t_s[...] = pe1[:-1]  # top interface of each source cell
-    pe1_bot = pe1[1:]  # bottom interface of each source cell
+    pe1t_s[...] = pe1  # ALL source interfaces (cell k: top pe1[k], bot pe1[k+1])
 
     # cumulative column integral Q1 at source-cell TOPS: Q1[k] = sum_{m<k}.
     # q*dp goes through a scratch ref — value-level dynamic indexing has no
@@ -72,12 +71,33 @@ def _remap_kernel(
     del final
 
     def interface_integral(j):
-        """Q(pe2[j]) — cumulative integral at target interface j."""
+        """Q(pe2[j]) — cumulative integral at target interface j.
+
+        Interval location by LOCAL comparison counting: since the candidate
+        window is clipped to ±D_OFFSET anyway, the bracketing-cell offset
+        clip(m - base, ±D) is computable from the 2D+1 candidate bottoms
+        alone — with pe1_bot monotone in k,
+            clip(m-base, -D, D) = clip(sum_{o<0} [bot(base+o)<=p, valid]-1
+                                       + sum_{o>=0} [bot(base+o)<=p, valid],
+                                       -D, D)
+        (out-of-range candidates contribute 0). This replaces the previous
+        O(K) full-column count (79 compares/interface at npz=79) with 11.
+        """
         p = pe2_ref[0, j]  # (BY, BX)
-        m = jnp.sum((pe1_bot <= p[None]).astype(jnp.int32), axis=0)
-        m = jnp.clip(m, 0, K - 1)
         base = jnp.clip(j - 1, 0, K - 1)
-        off = jnp.clip(m - base, -D_OFFSET, D_OFFSET)
+        m_loc = jnp.zeros_like(p, dtype=jnp.int32)
+        for o in range(-D_OFFSET, D_OFFSET + 1):
+            kk = jnp.clip(base + o, 0, K - 1)
+            bot = pe1t_s[jnp.clip(kk + 1, 1, K)]  # bottom of cell kk
+            cmp_o = (bot <= p).astype(jnp.int32)
+            lo_valid = base + o >= 0
+            hi_valid = base + o <= K - 1
+            if o < 0:
+                term = jnp.where(lo_valid, cmp_o - 1, 0)
+            else:
+                term = jnp.where(hi_valid, cmp_o, 0)
+            m_loc = m_loc + term
+        off = jnp.clip(m_loc, -D_OFFSET, D_OFFSET)
         acc = jnp.zeros_like(p)
         for o in range(-D_OFFSET, D_OFFSET + 1):
             kk = jnp.clip(base + o, 0, K - 1)
@@ -145,7 +165,7 @@ def remap_field_pallas(q, pe1, pe2, kord=4,
             pltpu.VMEM((K, BY, BX), q.dtype),  # da
             pltpu.VMEM((K, BY, BX), q.dtype),  # a6
             pltpu.VMEM((K, BY, BX), q.dtype),  # dp1
-            pltpu.VMEM((K, BY, BX), q.dtype),  # pe1 tops
+            pltpu.VMEM((K1, BY, BX), q.dtype),  # pe1 ALL interfaces
             pltpu.VMEM((K, BY, BX), q.dtype),  # Q1 at tops
             pltpu.VMEM((K, BY, BX), q.dtype),  # q*dp
         ],
