@@ -7,21 +7,26 @@ special hardware; multi-device sharding is exercised on a virtual CPU mesh.
 import os
 
 # Must be set before jax import. The deployment environment may export
-# JAX_PLATFORMS=axon (real TPU via tunnel); tests always run on host CPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# JAX_PLATFORMS=axon (real TPU via tunnel); tests always run on host CPU —
+# EXCEPT when PACE_TPU_TEST_DEVICE=tpu selects the real-device tier
+# (tests/tpu/: compiled Mosaic kernels vs their XLA twins on hardware).
+_ON_TPU = os.environ.get("PACE_TPU_TEST_DEVICE") == "tpu"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("PACE_TPU_PRECISION", "64")
 
 import jax
 
 # The axon sitecustomize force-registers the TPU plugin and overrides
 # JAX_PLATFORMS; override it back after import so tests stay on host CPU.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
