@@ -60,6 +60,8 @@ class DynamicalCoreConfig:
     do_vort_damp: bool = False
     vtdm4: float = 0.0
     damp_w: float = 0.0
+    #: tile-edge del-2 divergence-damping band (see DSWConfig.edge_damp_band)
+    edge_damp_band: bool = True
     ke_bg: float = 0.0
     delt_max: float = 0.002
     do_qa: bool = False
@@ -166,6 +168,7 @@ class DynamicalCoreConfig:
                 do_vort_damp=self.do_vort_damp,
                 vtdm4=self.vtdm4,
                 d_con=self.d_con,
+                edge_damp_band=self.edge_damp_band,
             ),
             a_imp=self.a_imp,
             p_fac=self.p_fac,

@@ -64,6 +64,14 @@ class DSWConfig:
     do_vort_damp: bool = False
     vtdm4: float = 0.0  # vorticity/momentum del-n damping coefficient
     d_con: float = 0.0  # fraction of damping-dissipated KE returned as heat
+    #: tile-edge del-2 band: mask the high-order divergence damping off on
+    #: tile-edge corner rows and substitute del-2 there (stabilizes the
+    #: composite del-2^(nord+1) at d4_bg >~ 0.12, nord >= 2). The measured
+    #: alternative — reference-style sina-weighted one-sided lap_corner
+    #: weights with the band off — made the unperturbed JW2006 jet
+    #: transition EARLIER (day ~6 vs day 7-8 at C48), so the band stays the
+    #: production treatment; the knob exists for damping experiments.
+    edge_damp_band: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -261,25 +269,29 @@ def d_sw(
             d2 = lap_corner(d2, grid) * grid.da_min_c
         dampn = config.d4_bg ** (config.nord + 1) * grid.da_min_c
         chin = dampn * d2 * ((-1.0) ** config.nord)
-        # Tile-edge stabilization: the composite del-2(nord+1) operator's
-        # eigenvalue peaks on the tile-edge corner rows (the dual areas there
-        # sit at the global minimum), tipping it into an overdamping
-        # instability for d4_bg >~ 0.12 at nord=3. The reference avoids this
-        # with one-sided edge-adapted weight arrays (divg_u/divg_v edge
-        # branches); here the high-order part is masked off on the edge rows
-        # and replaced by an unconditionally dissipative del-2 term.
-        band = jnp.clip(
-            grid.edge_s_iface
-            + grid.edge_n_iface
-            + grid.edge_w_iface
-            + grid.edge_e_iface,
-            0.0,
-            1.0,
-        )
-        bandk = bcast_k(band, chin)
-        d2_edge = max(config.d4_bg / 3.0, config.d2_bg)
-        chi_edge = grid.da_min_c * d2_edge * divg_d
-        chi = chi + (1.0 - bandk) * chin + bandk * chi_edge
+        if config.edge_damp_band:
+            # Tile-edge stabilization: the composite del-2(nord+1)
+            # operator's eigenvalue peaks on the tile-edge corner rows (the
+            # dual areas there sit at the global minimum), tipping it into
+            # an overdamping instability for d4_bg >~ 0.12 at nord=3; the
+            # high-order part is masked off on the edge rows and replaced
+            # by an unconditionally dissipative del-2 term. (The
+            # reference-style one-sided sina weights were tried instead —
+            # see edge_damp_band above — and measured worse.)
+            band = jnp.clip(
+                grid.edge_s_iface
+                + grid.edge_n_iface
+                + grid.edge_w_iface
+                + grid.edge_e_iface,
+                0.0,
+                1.0,
+            )
+            bandk = bcast_k(band, chin)
+            d2_edge = max(config.d4_bg / 3.0, config.d2_bg)
+            chi_edge = grid.da_min_c * d2_edge * divg_d
+            chi = chi + (1.0 - bandk) * chin + bandk * chi_edge
+        else:
+            chi = chi + chin
     dtke = dtke - chi
 
     # vorticity del-n damping (reference do_vort_damp/vtdm4: delnflux on the

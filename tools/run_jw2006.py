@@ -41,7 +41,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(n_tile: int, npz: int, dt: float, perturbation: bool, f64: bool):
+def build(n_tile: int, npz: int, dt: float, perturbation: bool, f64: bool,
+          edge_damp_band: bool = True):
     import jax.numpy as jnp
 
     from pace_tpu.grid.generation import GridSpec, MetricTerms
@@ -60,6 +61,7 @@ def build(n_tile: int, npz: int, dt: float, perturbation: bool, f64: bool):
         do_vort_damp=True, vtdm4=0.06,
         n_sponge=2, d_ext=0.02, d2_bg_k1=0.2, d2_bg_k2=0.1,
         kord_mt=9, kord_tm=-9, kord_tr=9, kord_wz=9,
+        edge_damp_band=edge_damp_band,
     )
     core = DynamicalCore(grid, mt.halo, cfg, timestep=dt, donate=True)
     state = DycoreState.from_baroclinic_init(
@@ -69,10 +71,11 @@ def build(n_tile: int, npz: int, dt: float, perturbation: bool, f64: bool):
 
 
 def run(n_tile=48, npz=26, days=10, dt=1200.0, perturbation=True,
-        f64=True, emit=print):
+        f64=True, emit=print, edge_damp_band=True):
     import numpy as np
 
-    mt, core, state = build(n_tile, npz, dt, perturbation, f64)
+    mt, core, state = build(n_tile, npz, dt, perturbation, f64,
+                            edge_damp_band=edge_damp_band)
     h = 3
     # cell-center latitudes, compute domain (same slice as ps below)
     lat_c = np.degrees(np.asarray(mt.lat_agrid))[..., h:-h, h:-h]
@@ -110,6 +113,9 @@ def main(argv=None):
     p.add_argument("--dt", type=float, default=1200.0)
     p.add_argument("--no-perturbation", action="store_true")
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--no-edge-band", action="store_true",
+                   help="disable the tile-edge del-2 damping band (relies "
+                   "on the sina-weighted one-sided lap_corner)")
     args = p.parse_args(argv)
     if not args.f32:
         import jax
@@ -120,7 +126,8 @@ def main(argv=None):
         # Pallas TPU has no 64-bit lowering)
         jax.config.update("jax_platforms", "cpu")
     run(args.n_tile, args.npz, args.days, args.dt,
-        not args.no_perturbation, not args.f32)
+        not args.no_perturbation, not args.f32,
+        edge_damp_band=not args.no_edge_band)
     return 0
 
 
