@@ -18,5 +18,10 @@ def pytest_collection_modifyitems(config, items):
     if jax.default_backend() == "tpu":
         return
     skip = pytest.mark.skip(reason="needs a real TPU backend")
+    here = os.path.dirname(os.path.abspath(__file__))
     for item in items:
-        item.add_marker(skip)
+        # this hook receives EVERY collected item, not just this
+        # directory's — scope the skip to tests/tpu/ or it silently skips
+        # the whole suite
+        if str(item.fspath).startswith(here):
+            item.add_marker(skip)
