@@ -31,6 +31,18 @@ def use_pallas(name: str) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def fit_block_k(y: int, x: int, itemsize: int = 4, default: int = 8) -> int:
+    """Plane-size-adaptive k-block for the stencil kernels: their VMEM
+    working set (input/output windows x2 buffering plus the compute body's
+    register-spill slots) scales with block_k x padded plane. block_k=8
+    fits C192 (200x256 padded planes) but blew VMEM by ~90 MB at C384
+    (compile-time OOM dominated by register-allocator spill slots in the
+    d2a2c and tracer-transport kernels). The budget is chosen so C192
+    keeps the measured-optimal block of 8 and C384 lands at 2."""
+    padded = ((y + 7) // 8 * 8) * ((x + 127) // 128 * 128) * itemsize
+    return max(1, min(default, int(53 * 1024 * 1024 // (32 * padded))))
+
+
 def pallas_cost(arrays, out_shapes, flops_per_point: float = 0.0,
                 transcendentals_per_point: float = 0.0):
     """``cost_estimate`` kwargs for a pallas_call: analytic HBM bytes

@@ -190,7 +190,10 @@ def fvtp2d_pallas(
     args = [qx, qy, crx, cry, xfx, yfx, area]
     if use_mf:
         args += [mfx, mfy]
-    bk = min(block_k, qx.shape[1])
+    from ._dispatch import fit_block_k
+
+    bk = min(fit_block_k(qx.shape[-2], qx.shape[-1], default=block_k),
+             qx.shape[1])
     return _run(tuple(args), hord, use_mf, bk, interpret)
 
 
@@ -411,7 +414,10 @@ def fvtp2d_tracer_pallas(
     Returns ``(fx, fy)`` of shapes ``(S, nq, K, Y, X+1)`` / ``(S, nq, K,
     Y+1, X)``, each tracer identical to its single-field call.
     """
-    bk = min(block_k, qx.shape[2])
+    from ._dispatch import fit_block_k
+
+    bk = min(fit_block_k(qx.shape[-2], qx.shape[-1], default=block_k),
+             qx.shape[2])
     return _run_tracer(
         qx, qy, crx, cry, xfx, yfx, area, mfx, mfy, int(hord), bk, interpret
     )
@@ -460,6 +466,10 @@ def fvtp2d_multi_pallas(
     if any(use_mfs):
         assert mfx is not None and mfy is not None
         args += [mfx, mfy]
-    bk = min(block_k, fields[0][0].shape[1])
+    from ._dispatch import fit_block_k
+
+    q00 = fields[0][0]
+    bk = min(fit_block_k(q00.shape[-2], q00.shape[-1], default=block_k),
+             q00.shape[1])
     flat = _run_multi(tuple(args), hords, use_mfs, bk, interpret)
     return [(flat[2 * f], flat[2 * f + 1]) for f in range(len(fields))]
