@@ -143,16 +143,18 @@ def _kernel(pk_ref, pk_last, gz_ref, gz_last, pp_ref, pp_last, delp_ref,
     jax.lax.fori_loop(0, bk, layer, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("dt", "bk", "interpret")
+)
 def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
-         interpret: bool = False):
+         bk: int = _BK, interpret: bool = False):
     S, K1, Y, X = pk.shape
     K = K1 - 1
-    nk = pl.cdiv(K, _BK)
+    nk = pl.cdiv(K, bk)
 
     def fld(k_extent, y, x):
         return pl.BlockSpec(
-            (1, _BK, y, x), lambda s, kb: (s, kb, 0, 0)
+            (1, bk, y, x), lambda s, kb: (s, kb, 0, 0)
         )
 
     def cst(shape):
@@ -170,7 +172,7 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
         # unclamped out-of-bounds block index aborts on real TPUs).
         return pl.BlockSpec(
             (1, 1, Y, X),
-            lambda s, kb: (s, jnp.minimum(kb * _BK + _BK, K1 - 1), 0, 0),
+            lambda s, kb: (s, jnp.minimum(kb * bk + bk, K1 - 1), 0, 0),
         )
 
     in_specs = (
@@ -181,7 +183,7 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
         + [cst(c.shape[1:]) for c in consts]
     )
     out_specs = [fld(K, Y + 1, X), fld(K, Y, X + 1)]
-    kern = functools.partial(_kernel, dt=dt, bk=_BK)
+    kern = functools.partial(_kernel, dt=dt, bk=bk)
     from jax.experimental.pallas import tpu as pltpu
 
     u2, v2 = pl.pallas_call(
@@ -194,8 +196,8 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((_BK + 1, Y + 1, X + 1), u.dtype) for _ in range(3)
-        ] + [pltpu.VMEM((_BK, Y + 1, X + 1), u.dtype)],
+            pltpu.VMEM((bk + 1, Y + 1, X + 1), u.dtype) for _ in range(3)
+        ] + [pltpu.VMEM((bk, Y + 1, X + 1), u.dtype)],
         # Mosaic sums the staging loops' live sets into one scoped stack
         # (~42MB at C192) instead of reusing across sequential loops; raise
         # the per-kernel VMEM budget (v5e/v5p have 128MB VMEM)
@@ -217,6 +219,10 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
 def nh_p_grad_pallas(u, v, pk, gz, pp, delp, grid, dt: float,
                      interpret: bool = False):
     """Drop-in for ops.nonhydro.nh_p_grad (same numerics, fused on-chip)."""
+    from ._dispatch import fit_block_k
+
     consts = tuple(getattr(grid, n) for n in _CONST_NAMES)
+    bk = min(fit_block_k(u.shape[-2], u.shape[-1], default=_BK),
+             delp.shape[-3])
     return _run(pk, gz, pp, delp, u, v, grid.rdx, grid.rdy, consts,
-                float(dt), interpret)
+                float(dt), bk=bk, interpret=interpret)
