@@ -135,8 +135,21 @@ def remap_field_pallas(q, pe1, pe2, kord=4,
     for d in lead:
         L *= d
     qf = q.reshape((L, K, Y, X))
-    pe1f = jnp.broadcast_to(pe1, lead + pe1.shape[-3:]).reshape((L, K1, Y, X))
-    pe2f = jnp.broadcast_to(pe2, lead + pe2.shape[-3:]).reshape((L, K2, Y, X))
+
+    # do NOT materialize pe broadcasts across the lead dims (the 9-tracer
+    # call at C384 would hold 2 x nq extra (K+1)-field copies in HBM —
+    # measured 3.8 GB over capacity): keep each pe at its own true lead
+    # size and fold the repeat factor into the block index map
+    def pe_flat(pe):
+        pl_lead = pe.shape[:-3]
+        lp = 1
+        for d in pl_lead:
+            lp *= d
+        rep = L // max(lp, 1)
+        return pe.reshape((lp,) + pe.shape[-3:]), rep
+
+    pe1f, rep1 = pe_flat(pe1)
+    pe2f, rep2 = pe_flat(pe2)
 
     # (8, 128) = one native f32 tile per k-plane. BY=16 exceeded the 16MB
     # scoped-vmem stack limit at npz=79 once the kord scheme family grew
@@ -153,8 +166,14 @@ def remap_field_pallas(q, pe1, pe2, kord=4,
         out_shape=_out_sds,
         grid=(L, ny, nx),
         in_specs=[
-            pl.BlockSpec((1, K1, BY, BX), lambda l, i, j: (l, 0, i, j)),
-            pl.BlockSpec((1, K2, BY, BX), lambda l, i, j: (l, 0, i, j)),
+            pl.BlockSpec(
+                (1, K1, BY, BX),
+                lambda l, i, j, _r=rep1: (l // _r, 0, i, j),
+            ),
+            pl.BlockSpec(
+                (1, K2, BY, BX),
+                lambda l, i, j, _r=rep2: (l // _r, 0, i, j),
+            ),
             pl.BlockSpec((1, K, BY, BX), lambda l, i, j: (l, 0, i, j)),
         ],
         out_specs=pl.BlockSpec(
