@@ -137,7 +137,7 @@ def main():
     # remote-TPU tunnel do not reliably block on device completion, so the
     # authoritative per-step time is the summed device time of one profiled
     # step. Wall time (amortized over STEPS) is kept as a cross-check.
-    device_step_s = None
+    device_step_s = span_step_s = None
     prof_gb = prof_gbps = prof_frac = pallas_s = None
     try:
         import tempfile
@@ -152,6 +152,20 @@ def main():
             events = _trace_op_events(td)
         if events:
             device_step_s = sum(e["dur"] / 1e6 for e in events)
+            # summed per-op durations OVERCOUNT when device work overlaps
+            # (async DMA/collectives concurrent with compute); the trace
+            # span max(end)-min(start) is the true elapsed device time of
+            # the step. Report both; when the span is SHORTER than the sum
+            # by >3% (real overlap) the span is authoritative. A span
+            # LONGER than the sum means device-idle gaps in the one traced
+            # step (dispatch latency through the tunnel) — there the sum
+            # remains the steady-state estimate.
+            span_step_s = (
+                max(e["ts"] + e["dur"] for e in events)
+                - min(e["ts"] for e in events)
+            ) / 1e6
+            if 0 < span_step_s < device_step_s * 0.97:
+                device_step_s = span_step_s
             # measured HBM traffic + bandwidth over the byte-reporting
             # events (most XLA fusions and part of the Pallas calls; some
             # custom calls report no bytes, so prof_gb is a lower bound on
@@ -225,6 +239,8 @@ def main():
     if device_step_s is not None:
         record["device_step_s"] = round(device_step_s, 3)
         record["wall_step_s"] = round(dt / STEPS, 3)
+        if span_step_s:
+            record["trace_span_step_s"] = round(span_step_s, 3)
     # profiler-measured roofline (VERDICT r2 weak #2): bytes and bandwidth
     # from per-op device events of one profiled step. hbm_peak_frac is the
     # achieved fraction of the chip's peak HBM bandwidth over the

@@ -106,7 +106,10 @@ class BandRadiationConfig:
     sw_frac: tuple = (0.52, 0.30, 0.18)
     k_sw_h2o: tuple = (0.0, 0.012, 0.35)  #: [m^2/kg vapor] per SW band
     rayleigh_albedo: float = 0.06  #: visible-band molecular reflection
-    surface_albedo: float = 0.12
+    # NOTE: there is deliberately no surface_albedo here — the returned
+    # sw_down_sfc is the downward flux BEFORE surface reflection, and the
+    # interactive surface schemes own albedo (lsm.py snow-dependent,
+    # seaice.py ice/snow/ocean), applying (1 - albedo) themselves.
     #: cloud SW optics: layer reflectance R = tau_c/(tau_c + g0)
     k_cloud_sw: float = 150.0  #: [m^2/kg condensate]
     cloud_g0: float = 7.0
@@ -224,7 +227,6 @@ def band_radiation_step_fluxes(
     up, down = lw_band_fluxes(t_lay, dtau_b, t_surf)
     sw_dn, _ = sw_fluxes(qv, qc, delp, cosz, cfg)
 
-    net = (up - down) + sw_dn  # positive up for LW; SW down adds -d(dn)/dp
     # heating from LW net-up divergence MINUS SW absorption divergence:
     # dT/dt = g/cp * d(up - down - sw_dn_netdown)/dp; sw term: absorbed =
     # -d(sw_dn)/dp (downward decreasing)

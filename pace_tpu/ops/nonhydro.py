@@ -194,7 +194,7 @@ def sim1_solver(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0,
     return w_new, delz_new, pp
 
 
-def _p_fac_floor(delz0, delz_new, pt, delp, pkz, ptop, p_fac: float):
+def _p_fac_floor(delz_new, pt, delp, pkz, ptop, p_fac: float):
     """Pressure floor of the reference riem_solver family (p_fac namelist):
     the solver must not expand a layer so far that its gas-law pressure
     drops below ``p_fac`` × the hydrostatic layer pressure (the reference
@@ -238,7 +238,7 @@ def sim1_solver_best(w, delz, pt, delp, pkz, ws, dt: float, ptop: float = 0.0,
     w_new, delz_new, pp = sim1_solver(
         w, delz, pt, delp, pkz, ws, dt, ptop, a_imp=a_imp
     )
-    delz_new = _p_fac_floor(delz, delz_new, pt, delp, pkz, ptop, p_fac)
+    delz_new = _p_fac_floor(delz_new, pt, delp, pkz, ptop, p_fac)
     return w_new, delz_new, pp
 
 

@@ -145,7 +145,33 @@ def remap_field_pallas(q, pe1, pe2, kord=4,
         lp = 1
         for d in pl_lead:
             lp *= d
-        rep = L // max(lp, 1)
+        # the l//rep index map is only valid when the flattened pe lead is a
+        # PREFIX of q's flattened lead (pe broadcast on trailing lead axes):
+        # require pe.shape[:-3] to equal the leading dims of q.shape[:-3]
+        # (padded with 1s) and lp to divide L; anything else would silently
+        # read wrong pressure columns.
+        if lp == 0 or L % lp != 0:
+            raise ValueError(
+                f"pe lead {pl_lead} does not evenly divide q lead {lead}"
+            )
+        pl_full = (1,) * (len(lead) - len(pl_lead)) + tuple(pl_lead)
+        seen_bcast = False
+        for qd, pd in zip(lead, pl_full):
+            if pd == 1 and qd != 1:
+                seen_bcast = True
+            elif pd == qd:
+                if seen_bcast and qd != 1:
+                    raise ValueError(
+                        f"pe lead {pl_lead} varies on a lead axis AFTER a"
+                        f" broadcast axis of q lead {lead}; the l//rep block"
+                        " map would read wrong pressure columns —"
+                        " materialize the broadcast before calling"
+                    )
+            else:
+                raise ValueError(
+                    f"pe lead {pl_lead} not broadcastable to q lead {lead}"
+                )
+        rep = L // lp
         return pe.reshape((lp,) + pe.shape[-3:]), rep
 
     pe1f, rep1 = pe_flat(pe1)

@@ -122,9 +122,10 @@ def _sim1_kernel(
     # the external ops.nonhydro._p_fac_floor would redo the whole
     # cumsum/log pass through HBM): a layer may not expand past the
     # thickness where its gas-law pressure drops below p_fac * hydrostatic
-    dz_new = jnp.maximum(
-        dz_new, -dm * constants.RDGAS * t_v / (p_fac * p_hyd_layer)
-    )
+    if p_fac > 0.0:  # static: no-floor is an explicit skip, not x/0 -> inf
+        dz_new = jnp.maximum(
+            dz_new, -dm * constants.RDGAS * t_v / (p_fac * p_hyd_layer)
+        )
     pprime_new = pprime + b_coef * dwdz
 
     pp_int = (dm_dn * pprime_new[:-1] + dm_up * pprime_new[1:]) / (

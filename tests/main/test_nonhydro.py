@@ -154,13 +154,13 @@ def test_p_fac_floor_caps_expansion():
     # hydrostatic gas-law thickness: (-delz0) = dm*Rd*Tv/p_hyd, so the cap
     # at p_fac is (-delz0)/p_fac. A proposed 100x expansion must clip there.
     dz_runaway = delz * 100.0
-    dz_floored = _p_fac_floor(delz, dz_runaway, pt, delp, pkz, PTOP, 0.05)
+    dz_floored = _p_fac_floor(dz_runaway, pt, delp, pkz, PTOP, 0.05)
     np.testing.assert_allclose(
         np.asarray(dz_floored), np.asarray(delz) / 0.05, rtol=1e-9
     )
     # in-bounds update (2% expansion, floor at 5%): untouched
     dz_ok = delz * 1.02
-    dz_same = _p_fac_floor(delz, dz_ok, pt, delp, pkz, PTOP, 0.05)
+    dz_same = _p_fac_floor(dz_ok, pt, delp, pkz, PTOP, 0.05)
     np.testing.assert_array_equal(np.asarray(dz_same), np.asarray(dz_ok))
 
     # and the dispatched solver applies it: a balanced column stepped with a
