@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ... import constants
 from ...ops.c_sw import c_sw
 from ...ops.d_sw import DSWConfig, DSWResult, d_sw
+from ...ops.hydro_pallas import hydrostatic_interfaces_best
 from ...ops.pgrad import hydrostatic_interfaces, one_grad_p, p_grad_c
 
 
@@ -213,8 +214,8 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     if checkpointer is not None:
         checkpointer("C_SW-Out", uc=cg.uc, vc=cg.vc, delpc=cg.delpc, ptc=cg.ptc)
     if hydro:
-        _pe, _peln, pkc, pkz_c, gz_c = hydrostatic_interfaces(
-            cg.delpc, cg.ptc, phis, ptop
+        _pe, _peln, pkc, pkz_c, gz_c = hydrostatic_interfaces_best(
+            cg.delpc, cg.ptc, phis, ptop, need=("pk", "pkz", "gz")
         )
         uc, vc = p_grad_c(cg.uc, cg.vc, pkc, gz_c, grid, dt2)
     else:
@@ -222,8 +223,8 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
             heights_from_delz, riem_solver_c, updatedz_c,
         )
 
-        _pe, _peln, _pk, pkz_c, _gz = hydrostatic_interfaces(
-            cg.delpc, cg.ptc, phis, ptop
+        _pe, _peln, _pk, pkz_c, _gz = hydrostatic_interfaces_best(
+            cg.delpc, cg.ptc, phis, ptop, need=("pkz",)
         )
         pkz_h = pkz_c
         # --- updatedzc (reference update_dz_c; VERDICT r2 #7): advect the
@@ -294,7 +295,9 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     dugf_new = None
     if hydro:
         # --- hydrostatic pressure-gradient (forward-backward: new delp/pt)
-        _pe, _peln, pk, _pkz, gz = hydrostatic_interfaces(delp_h, pt_h, phis, ptop)
+        _pe, _peln, pk, _pkz, gz = hydrostatic_interfaces_best(
+            delp_h, pt_h, phis, ptop, need=("pk", "gz")
+        )
         with jax.named_scope("PGradD"):
             if dugf_prev is not None:
                 # beta off-centering: (1-beta)*PGF(new) + beta*PGF(previous)
@@ -332,8 +335,8 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
         zh_adv = jnp.concatenate([zh_adv[..., :-1, :, :], zs], axis=-3)
         delz = zh_adv[..., 1:, :, :] - zh_adv[..., :-1, :, :]
 
-        _pe, _peln, pk_h, pkz_h, _gz = hydrostatic_interfaces(
-            delp_h, pt_h, phis, ptop
+        _pe, _peln, pk_h, pkz_h, _gz = hydrostatic_interfaces_best(
+            delp_h, pt_h, phis, ptop, need=("pk", "pkz")
         )
         with jax.named_scope("Riemann3"):
             w, delz, pp = riem_solver3(

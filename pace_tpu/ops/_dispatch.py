@@ -7,7 +7,8 @@ names, or ``all``) forces the XLA path per kernel — the debugging analog of
 the reference's per-backend stencil selection, and the bisection tool for
 separating kernel bugs from model numerics.
 
-Known names: ``fvtp2d``, ``d2a2c``, ``remap``, ``sim1``, ``pgrad`` (the
+Known names: ``fvtp2d``, ``d2a2c``, ``remap``, ``sim1``, ``pgrad``,
+``dsw_tail``, ``csw_tail``, ``hydro`` (the
 halo-exchange kernel has its own switch, ``PACE_TPU_HALO_ASSEMBLY`` in
 halo_slabs.py).
 """

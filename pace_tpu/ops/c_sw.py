@@ -165,25 +165,16 @@ def c_grid_area_fluxes(ut, vt, grid, dt2: float):
     return xfx, yfx
 
 
-def c_sw(u, v, delp, pt, grid, halo, dt2: float):
-    """One C-grid half step. Inputs carry fresh halos (depth >= 3).
-
-    ``u`` should carry y-fold corner ghosts and ``v`` x-fold (each is swept
-    along its own interface axis). Derived winds (ua/va, uc/vc) are
-    halo-exchanged so their corner-region ghosts are exact in the fold each
-    consumer needs — the analog of the reference's per-sweep fill_corners
-    calls inside c_sw/d2a2c.
-    """
+def c_sw_tail_jnp(u, v, delp, pt, uc, vc, uc_x, vc_x, uc_y, vc_y,
+                  ua, va, va_x, ua_y, grid, dt2: float):
+    """The C-grid half step after d2a2c + halo exchanges: contravariant
+    winds, provisional upwind delp/pt transport, KE/vorticity momentum
+    update, corner divergence (pre-exchange). Returns (delpc, ptc, uc_new,
+    vc_new, ut, vt, xfx, yfx, divg_d)."""
     from ..ops.fxadv import contravariant_ut, contravariant_vt
 
-    ua, va, uc, vc, _ut, _vt = d2a2c_vect(u, v, grid)
-    uc, vc = halo.sync_vector_interfaces(uc, vc, kind="cgrid")
-    uc_x, vc_x = halo.update_vector(uc, vc, kind="cgrid", fold="x")
-    uc_y, vc_y = halo.update_vector(uc, vc, kind="cgrid", fold="y")
     ut = contravariant_ut(uc_x, vc_x, grid)
     vt = contravariant_vt(uc_y, vc_y, grid)
-    ua_x, va_x = halo.update_vector(ua, va, kind="agrid", fold="x")
-    ua_y, va_y = halo.update_vector(ua, va, kind="agrid", fold="y")
 
     # --- provisional delp/pt: first-order upwind transport over dt2
     xfx, yfx = c_grid_area_fluxes(ut, vt, grid, dt2)
@@ -238,9 +229,7 @@ def c_sw(u, v, delp, pt, grid, halo, dt2: float):
 
     # Corner divergence for damping. At cube corners the dual-cell formula is
     # replaced by the mean CELL divergence of the 3 real quadrants (computed
-    # from the same contravariant face fluxes as the delp transport), and the
-    # result is halo-exchanged so downstream Laplacian iterations see exact
-    # owner values in all ghost slots.
+    # from the same contravariant face fluxes as the delp transport).
     from .corners import average_3_quadrants
 
     divg_d = divergence_corner(u, v, va_x, ua_y, grid)
@@ -248,6 +237,37 @@ def c_sw(u, v, delp, pt, grid, halo, dt2: float):
         -(x_iface_diff(xfx) + y_iface_diff(yfx)) * rarea / dt2
     )
     divg_d = average_3_quadrants(cell_div, grid, divg_d)
+    return delpc, ptc, uc_new, vc_new, ut, vt, xfx, yfx, divg_d
+
+
+def c_sw(u, v, delp, pt, grid, halo, dt2: float):
+    """One C-grid half step. Inputs carry fresh halos (depth >= 3).
+
+    ``u`` should carry y-fold corner ghosts and ``v`` x-fold (each is swept
+    along its own interface axis). Derived winds (ua/va, uc/vc) are
+    halo-exchanged so their corner-region ghosts are exact in the fold each
+    consumer needs — the analog of the reference's per-sweep fill_corners
+    calls inside c_sw/d2a2c.
+    """
+    ua, va, uc, vc, _ut, _vt = d2a2c_vect(u, v, grid)
+    uc, vc = halo.sync_vector_interfaces(uc, vc, kind="cgrid")
+    uc_x, vc_x = halo.update_vector(uc, vc, kind="cgrid", fold="x")
+    uc_y, vc_y = halo.update_vector(uc, vc, kind="cgrid", fold="y")
+    ua_x, va_x = halo.update_vector(ua, va, kind="agrid", fold="x")
+    ua_y, va_y = halo.update_vector(ua, va, kind="agrid", fold="y")
+
+    from ._dispatch import use_pallas
+
+    if use_pallas("csw_tail") and u.dtype == jnp.float32:
+        from .c_sw_tail_pallas import c_sw_tail_pallas as _tail
+    else:
+        _tail = c_sw_tail_jnp
+    delpc, ptc, uc_new, vc_new, ut, vt, xfx, yfx, divg_d = _tail(
+        u, v, delp, pt, uc, vc, uc_x, vc_x, uc_y, vc_y,
+        ua, va, va_x, ua_y, grid, dt2,
+    )
+    # halo-exchange the corner divergence so downstream Laplacian
+    # iterations see exact owner values in all ghost slots
     divg_d = halo.update_scalar(divg_d, stagger="corner", fold="x")
 
     return CGridState(

@@ -138,6 +138,120 @@ def kinetic_energy_corners(u, v, ut, vt, grid, dt: float):
     return dt * ke
 
 
+def damping_profile(config: DSWConfig, K: int, dtype):
+    """Per-level del-2 background coefficient column (sponge boost on the
+    top two levels; reference fv_dynamics sponge convention) as (K, 1, 1)."""
+    prof = [config.d2_bg] * K
+    if K >= 1:
+        prof[0] = max(config.d2_bg, config.d2_bg_k1)
+    if K >= 2:
+        prof[1] = max(config.d2_bg, config.d2_bg_k2)
+    return jnp.asarray(prof, dtype=dtype)[:, None, None]
+
+
+def d_sw_tail_jnp(u, v, ut, vt, divg_d, vort, vfx, vfy, dvfx, dvfy,
+                  grid, dt: float, config: DSWConfig):
+    """KE + divergence damping + momentum update + dissipation estimate
+    (the d_sw tail after transport-flux syncs). Returns (u_new, v_new,
+    heat) with u_new/v_new PRE interface sync. ``dvfx``/``dvfy`` are the
+    already-synced vorticity del-n damping fluxes (or None)."""
+    # --- kinetic energy + divergence damping potential at corners
+    dtke = kinetic_energy_corners(u, v, ut, vt, grid, dt)
+
+    # del-2 background part with the sponge profile, and the
+    # Smagorinsky-type adaptive part (dddmp), limited to 0.20 as in the
+    # reference divergence_damping.
+    K = u.shape[-3]
+    d2_col = damping_profile(config, K, u.dtype)
+    if config.dddmp > 0.0:
+        # deformation magnitude at corners: combine corner divergence with
+        # 4-point-averaged relative vorticity (TPU-native stand-in for the
+        # reference smag_corner tension+shear pair)
+        zeta = vort - bcast_k(grid.f0, vort)
+        zeta_p = jnp.pad(
+            zeta, [(0, 0)] * (zeta.ndim - 2) + [(1, 1), (1, 1)], mode="edge"
+        )
+        zeta_c = 0.25 * (
+            zeta_p[..., :-1, :-1]
+            + zeta_p[..., :-1, 1:]
+            + zeta_p[..., 1:, :-1]
+            + zeta_p[..., 1:, 1:]
+        )
+        smag = dt * jnp.sqrt(divg_d * divg_d + zeta_c * zeta_c)
+        damp2 = jnp.maximum(d2_col, jnp.minimum(0.20, config.dddmp * smag))
+    else:
+        damp2 = d2_col
+    chi = grid.da_min_c * damp2 * divg_d
+    if config.nord > 0:
+        # higher-order part — overflow-safe factoring of
+        # (d4_bg*da_min_c)^(nord+1): one da_min_c folded into each Laplacian
+        # iteration keeps intermediates O(1) in f32 (see delnflux)
+        d2 = divg_d
+        for _ in range(config.nord):
+            d2 = lap_corner(d2, grid) * grid.da_min_c
+        dampn = config.d4_bg ** (config.nord + 1) * grid.da_min_c
+        chin = dampn * d2 * ((-1.0) ** config.nord)
+        if config.edge_damp_band:
+            # Tile-edge stabilization: the composite del-2^(nord+1)
+            # operator's eigenvalue peaks on the tile-edge corner rows (the
+            # dual areas there sit at the global minimum), tipping it into
+            # an overdamping instability for d4_bg >~ 0.12 at nord=3; the
+            # high-order part is masked off on the edge rows and replaced
+            # by an unconditionally dissipative del-2 term. (The
+            # reference-style one-sided sina weights were tried instead —
+            # see edge_damp_band above — and measured worse.)
+            band = jnp.clip(
+                grid.edge_s_iface
+                + grid.edge_n_iface
+                + grid.edge_w_iface
+                + grid.edge_e_iface,
+                0.0,
+                1.0,
+            )
+            bandk = bcast_k(band, chin)
+            d2_edge = max(config.d4_bg / 3.0, config.d2_bg)
+            chi_edge = grid.da_min_c * d2_edge * divg_d
+            chi = chi + (1.0 - bandk) * chin + bandk * chi_edge
+        else:
+            chi = chi + chin
+    dtke = dtke - chi
+
+    if dvfx is not None:
+        vfx = vfx + dvfx
+        vfy = vfy + dvfy
+
+    # --- circulation-form momentum update
+    u_new = (
+        u * bcast_k(grid.dx, u)
+        + (dtke[..., :-1] - dtke[..., 1:])
+        + vfy
+    ) * bcast_k(grid.rdx, u)
+    v_new = (
+        v * bcast_k(grid.dy, v)
+        + (dtke[..., :-1, :] - dtke[..., 1:, :])
+        - vfx
+    ) * bcast_k(grid.rdy, v)
+
+    # --- dissipation estimate: KE removed by the damping terms this substep
+    # (reference heat_source/diss_est in d_sw; drives d_con heating and the
+    # diss_estd diagnostic). Trapezoidal u·du using the damping-only wind
+    # increments.
+    heat = None
+    if config.d_con > 0.0 or config.vtdm4 > 0.0:
+        du_d = (chi[..., 1:] - chi[..., :-1]) * bcast_k(grid.rdx, u)
+        dv_d = (chi[..., 1:, :] - chi[..., :-1, :]) * bcast_k(grid.rdy, v)
+        if dvfy is not None:
+            du_d = du_d + dvfy * bcast_k(grid.rdx, u)
+            dv_d = dv_d - dvfx * bcast_k(grid.rdy, v)
+        e_u = (u + 0.5 * du_d) * du_d  # at u points
+        e_v = (v + 0.5 * dv_d) * dv_d  # at v points
+        heat = -(
+            0.5 * (e_u[..., :-1, :] + e_u[..., 1:, :])
+            + 0.5 * (e_v[..., :-1] + e_v[..., 1:])
+        )
+    return u_new, v_new, heat
+
+
 def d_sw(
     u,
     v,
@@ -227,113 +341,31 @@ def d_sw(
             + (x_iface_diff(wfx) + y_iface_diff(wfy)) * bcast_k(rarea, w)
         ) / delp_new
 
-    # --- kinetic energy + divergence damping potential at corners
-    dtke = kinetic_energy_corners(u, v, ut, vt, grid, dt)
-
-    # del-2 background part, with the sponge profile (d2_bg_k1/k2 boost the
-    # top two model levels; reference fv_dynamics sponge convention) and the
-    # Smagorinsky-type adaptive part (dddmp), limited to 0.20 as in the
-    # reference divergence_damping.
-    K = u.shape[-3]
-    prof = [config.d2_bg] * K
-    if K >= 1:
-        prof[0] = max(config.d2_bg, config.d2_bg_k1)
-    if K >= 2:
-        prof[1] = max(config.d2_bg, config.d2_bg_k2)
-    d2_col = jnp.asarray(prof, dtype=u.dtype)[:, None, None]
-    if config.dddmp > 0.0:
-        # deformation magnitude at corners: combine corner divergence with
-        # 4-point-averaged relative vorticity (TPU-native stand-in for the
-        # reference smag_corner tension+shear pair)
-        zeta = vort - bcast_k(grid.f0, vort)
-        zeta_p = jnp.pad(
-            zeta, [(0, 0)] * (zeta.ndim - 2) + [(1, 1), (1, 1)], mode="edge"
-        )
-        zeta_c = 0.25 * (
-            zeta_p[..., :-1, :-1]
-            + zeta_p[..., :-1, 1:]
-            + zeta_p[..., 1:, :-1]
-            + zeta_p[..., 1:, 1:]
-        )
-        smag = dt * jnp.sqrt(divg_d * divg_d + zeta_c * zeta_c)
-        damp2 = jnp.maximum(d2_col, jnp.minimum(0.20, config.dddmp * smag))
-    else:
-        damp2 = d2_col
-    chi = grid.da_min_c * damp2 * divg_d
-    if config.nord > 0:
-        # higher-order part — overflow-safe factoring of
-        # (d4_bg*da_min_c)^(nord+1): one da_min_c folded into each Laplacian
-        # iteration keeps intermediates O(1) in f32 (see delnflux)
-        d2 = divg_d
-        for _ in range(config.nord):
-            d2 = lap_corner(d2, grid) * grid.da_min_c
-        dampn = config.d4_bg ** (config.nord + 1) * grid.da_min_c
-        chin = dampn * d2 * ((-1.0) ** config.nord)
-        if config.edge_damp_band:
-            # Tile-edge stabilization: the composite del-2(nord+1)
-            # operator's eigenvalue peaks on the tile-edge corner rows (the
-            # dual areas there sit at the global minimum), tipping it into
-            # an overdamping instability for d4_bg >~ 0.12 at nord=3; the
-            # high-order part is masked off on the edge rows and replaced
-            # by an unconditionally dissipative del-2 term. (The
-            # reference-style one-sided sina weights were tried instead —
-            # see edge_damp_band above — and measured worse.)
-            band = jnp.clip(
-                grid.edge_s_iface
-                + grid.edge_n_iface
-                + grid.edge_w_iface
-                + grid.edge_e_iface,
-                0.0,
-                1.0,
-            )
-            bandk = bcast_k(band, chin)
-            d2_edge = max(config.d4_bg / 3.0, config.d2_bg)
-            chi_edge = grid.da_min_c * d2_edge * divg_d
-            chi = chi + (1.0 - bandk) * chin + bandk * chi_edge
-        else:
-            chi = chi + chin
-    dtke = dtke - chi
-
     # vorticity del-n damping (reference do_vort_damp/vtdm4: delnflux on the
-    # vorticity field, fluxes folded into the vorticity fluxes)
+    # vorticity field, fluxes folded into the vorticity fluxes). Computed
+    # BEFORE the fused tail so its cross-tile flux sync stays outside the
+    # kernel (values are independent of the tail's inputs).
     dvfx = dvfy = None
     if config.do_vort_damp and config.vtdm4 > 0.0:
         nord_v = min(2, config.nord) if config.nord > 0 else 0
         dvfx, dvfy = delnflux(vort_x, grid, nord_v, config.vtdm4, grid.da_min)
         dvfx, dvfy = halo.sync_vector_interfaces(dvfx, dvfy, kind="cgrid")
-        vfx = vfx + dvfx
-        vfy = vfy + dvfy
 
-    # --- circulation-form momentum update
-    u_new = (
-        u * bcast_k(grid.dx, u)
-        + (dtke[..., :-1] - dtke[..., 1:])
-        + vfy
-    ) * bcast_k(grid.rdx, u)
-    v_new = (
-        v * bcast_k(grid.dy, v)
-        + (dtke[..., :-1, :] - dtke[..., 1:, :])
-        - vfx
-    ) * bcast_k(grid.rdy, v)
+    # --- fused tail: kinetic energy + divergence-damping potential +
+    # circulation-form momentum update + dissipation estimate. One Pallas
+    # kernel on TPU (the XLA form streams ~130 plane-sized intermediates
+    # through HBM per substep — measured 387 GB/step in D_SW fusions at
+    # C192); jnp twin elsewhere.
+    from ._dispatch import use_pallas
+
+    if use_pallas("dsw_tail") and u.dtype == jnp.float32:
+        from .d_sw_tail_pallas import d_sw_tail_pallas as _tail
+    else:
+        _tail = d_sw_tail_jnp
+    u_new, v_new, heat = _tail(
+        u, v, ut, vt, divg_d, vort, vfx, vfy, dvfx, dvfy, grid, dt, config
+    )
     u_new, v_new = halo.sync_vector_interfaces(u_new, v_new, kind="dgrid")
-
-    # --- dissipation estimate: KE removed by the damping terms this substep
-    # (reference heat_source/diss_est in d_sw; drives d_con heating and the
-    # diss_estd diagnostic). Trapezoidal u·du using the damping-only wind
-    # increments.
-    heat = None
-    if config.d_con > 0.0 or config.vtdm4 > 0.0:
-        du_d = (chi[..., 1:] - chi[..., :-1]) * bcast_k(grid.rdx, u)
-        dv_d = (chi[..., 1:, :] - chi[..., :-1, :]) * bcast_k(grid.rdy, v)
-        if dvfy is not None:
-            du_d = du_d + dvfy * bcast_k(grid.rdx, u)
-            dv_d = dv_d - dvfx * bcast_k(grid.rdy, v)
-        e_u = (u + 0.5 * du_d) * du_d  # at u points
-        e_v = (v + 0.5 * dv_d) * dv_d  # at v points
-        heat = -(
-            0.5 * (e_u[..., :-1, :] + e_u[..., 1:, :])
-            + 0.5 * (e_v[..., :-1] + e_v[..., 1:])
-        )
 
     return DSWResult(
         u=u_new,

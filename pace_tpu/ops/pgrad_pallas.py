@@ -8,12 +8,20 @@ planes once per layer block, performs ALL the interpolation and PGF math
 in VMEM, and writes only the updated u, v — ~9 HBM passes total instead of
 ~40.
 
-Numerics: the kernel calls the SAME ``a2b_ord4`` (ops/pgrad.py) the XLA
-path uses — including the tile-edge edge_vect correction, one-sided
-edge-adjacent stencils and quadratic cube-corner extrapolation — on
-per-shard 2-D planes, with the grid constants delivered as block inputs
-through a lightweight view object. The dense-mask corner path is taken
-in-kernel (the static point table is a host-side optimization).
+Numerics: the kernel computes the SAME arithmetic as ``a2b_ord4``
+(ops/pgrad.py) — including the tile-edge edge_vect correction, one-sided
+edge-adjacent stencils and quadratic cube-corner extrapolation — but
+*strip-specialized*: the full-plane a2b applies its edge corrections as
+plane-wide masked blends (the right shape for XLA fusion), which inside
+the kernel measured ~25x the interior stencil's VPU work (the dense
+corner path alone is ~140 plane ops for 4 points; the kernel ran at
+78 GB/s-equivalent). Here the corrections are computed on the 6 affected
+interface lines only and the corner extrapolations at the (static) corner
+points only — identical values at every point, asserted to 1e-12 by
+tests/main/test_pgrad_pallas.py. Tile-edge/corner local coordinates are
+the SAME for every shard that has them (grid_data.py edge construction:
+W/S at index h, E/N at index size-h), so the line positions are static
+and per-shard presence is a scalar flag operand.
 
 Block geometry: grid (S, K/BK); each block holds BK full (Y, X) planes of
 every field (a C192 plane is ~158 KB — full spatial extent fits easily),
@@ -30,72 +38,187 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .pgrad import a2b_ord4
+from .corners import _FOLDED, _QUADRANTS
+from .d2a2c import A1, A2, centers_to_x_ifaces, centers_to_y_ifaces
 
 #: layers per block
 _BK = 8
 
 
 @dataclasses.dataclass
-class _GridView:
-    """Per-shard 2-D grid constants in the shapes a2b_ord4 expects.
-    ``corner_table`` is intentionally absent -> dense-mask corner path."""
+class _A2BCtx:
+    """Hoisted per-shard scalars/lines for the strip-specialized a2b."""
 
-    a2b_x_w0: jnp.ndarray
-    a2b_x_wp: jnp.ndarray
-    a2b_x_wm: jnp.ndarray
-    a2b_ghost_left_x: jnp.ndarray
-    a2b_y_w0: jnp.ndarray
-    a2b_y_wp: jnp.ndarray
-    a2b_y_wm: jnp.ndarray
-    a2b_ghost_south_y: jnp.ndarray
-    edge_w_iface: jnp.ndarray
-    edge_e_iface: jnp.ndarray
-    edge_s_iface: jnp.ndarray
-    edge_n_iface: jnp.ndarray
-    corner_sw: jnp.ndarray
-    corner_se: jnp.ndarray
-    corner_nw: jnp.ndarray
-    corner_ne: jnp.ndarray
+    h: int
+    corner_pos: tuple  # ((kind, jj, ii), ...) static
+    fw: jnp.ndarray  # scalar presence flags (0./1.)
+    fe: jnp.ndarray
+    fs: jnp.ndarray
+    fn: jnp.ndarray
+    own: tuple  # per-corner-entry scalar flags
+    xw: jnp.ndarray  # (Y, 6): w0/wp/wm at W col, then E col
+    yw: jnp.ndarray  # (6, X): w0/wp/wm at S row, then N row
 
 
-_CONST_NAMES = tuple(f.name for f in dataclasses.fields(_GridView))
+def _a2b_fast(q, ctx: _A2BCtx):
+    """a2b_ord4 with edge/corner work on the affected lines/points only.
+
+    q: (Y, X) cell-center plane -> (Y+1, X+1) corner plane. Arithmetic is
+    op-for-op identical to ops.pgrad.a2b_ord4 (see module docstring).
+    """
+    Y, X = q.shape
+    h = ctx.h
+    cw, ce = h, X - h
+    rs, rn = h, Y - h
+
+    qx = centers_to_x_ifaces(q)  # (Y, X+1)
+
+    def col(c):
+        return q[:, c : c + 1]  # (Y, 1)
+
+    def qx_col(c):
+        return qx[:, c : c + 1]
+
+    # W/E tile-edge interface columns: geodesic 2-pt across the kink with
+    # the ghost column interpolated along the edge (a2b edge_vect analog)
+    ghost = col(cw - 1)
+    gt = (
+        ctx.xw[:, 0:1] * ghost
+        + ctx.xw[:, 1:2] * jnp.roll(ghost, -1, axis=0)
+        + ctx.xw[:, 2:3] * jnp.roll(ghost, 1, axis=0)
+    )
+    v_cw = qx_col(cw) + ctx.fw * (0.5 * (col(cw) + gt) - qx_col(cw))
+    ghost = col(ce)
+    gt = (
+        ctx.xw[:, 3:4] * ghost
+        + ctx.xw[:, 4:5] * jnp.roll(ghost, -1, axis=0)
+        + ctx.xw[:, 5:6] * jnp.roll(ghost, 1, axis=0)
+    )
+    v_ce = qx_col(ce) + ctx.fe * (0.5 * (col(ce - 1) + gt) - qx_col(ce))
+    # first interior interface next to each edge: one-sided cubic from the
+    # 4 inside centers
+    c1, c2 = cw + 1, ce - 1
+    os_r = (
+        0.3125 * col(c1 - 1)
+        + 0.9375 * col(c1)
+        - 0.3125 * col(c1 + 1)
+        + 0.0625 * col(c1 + 2)
+    )
+    v_c1 = qx_col(c1) + ctx.fw * (os_r - qx_col(c1))
+    os_l = (
+        0.3125 * col(c2)
+        + 0.9375 * col(c2 - 1)
+        - 0.3125 * col(c2 - 2)
+        + 0.0625 * col(c2 - 3)
+    )
+    v_c2 = qx_col(c2) + ctx.fe * (os_l - qx_col(c2))
+
+    colid = jax.lax.broadcasted_iota(jnp.int32, qx.shape, 1)
+    qx = jnp.where(colid == cw, v_cw, qx)
+    qx = jnp.where(colid == c1, v_c1, qx)
+    qx = jnp.where(colid == c2, v_c2, qx)
+    qx = jnp.where(colid == ce, v_ce, qx)
+
+    out = centers_to_y_ifaces(qx)  # (Y+1, X+1)
+
+    # S/N tile-edge interface rows: same treatment on q rows, then the
+    # 4th-order interp ALONG the (smooth) edge replaces the separable
+    # value on those two rows. (The one-sided rows rs+1/rn-1 of the full
+    # qy are never consumed by the final blend — ey is zero there.)
+    def row(r):
+        return q[r - 1 : r, :] if r > 0 else q[:1, :]
+
+    def corrected_row(r, is_s):
+        q_m1, q_0 = q[r - 1 : r, :], q[r : r + 1, :]
+        base = A1 * (q_m1 + q_0) + A2 * (q[r - 2 : r - 1, :] + q[r + 1 : r + 2, :])
+        ghost = q_m1 if is_s else q_0
+        inside = q_0 if is_s else q_m1
+        o = 0 if is_s else 3
+        gt = (
+            ctx.yw[o : o + 1, :] * ghost
+            + ctx.yw[o + 1 : o + 2, :] * jnp.roll(ghost, -1, axis=1)
+            + ctx.yw[o + 2 : o + 3, :] * jnp.roll(ghost, 1, axis=1)
+        )
+        f = ctx.fs if is_s else ctx.fn
+        qy_r = base + f * (0.5 * (inside + gt) - base)  # (1, X)
+        out_y = centers_to_x_ifaces(qy_r)  # (1, X+1)
+        cur = out[r : r + 1, :]
+        return cur + f * (out_y - cur)
+
+    v_rs = corrected_row(rs, True)
+    v_rn = corrected_row(rn, False)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+    out = jnp.where(rowid == rs, v_rs, out)
+    out = jnp.where(rowid == rn, v_rn, out)
+
+    # cube-corner points: mean of the 3 one-sided diagonal quadratic
+    # extrapolations, at the static corner positions only
+    colid_o = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+
+    def cell(jj, ii, a, b):
+        # mirrors corners._cell_read: roll-wrap indices, 0 past the pad
+        if jj >= Y or ii >= X:
+            return jnp.zeros_like(q[:1, :1])
+        return q[(jj + a) % Y : (jj + a) % Y + 1, (ii + b) % X : (ii + b) % X + 1]
+
+    for idx, (kind, jj, ii) in enumerate(ctx.corner_pos):
+        folded = _FOLDED[kind]
+        acc = None
+        for (a, b) in _QUADRANTS:
+            if (a, b) == folded:
+                continue
+            a2 = a + (1 if a >= 0 else -1)
+            b2 = b + (1 if b >= 0 else -1)
+            a3 = a + (2 if a >= 0 else -2)
+            b3 = b + (2 if b >= 0 else -2)
+            ext = (
+                1.875 * cell(jj, ii, a, b)
+                - 1.25 * cell(jj, ii, a2, b2)
+                + 0.375 * cell(jj, ii, a3, b3)
+            )
+            acc = ext if acc is None else acc + ext
+        mask = (rowid == jj) & (colid_o == ii) & (ctx.own[idx] > 0.5)
+        out = jnp.where(mask, acc / 3.0, out)
+    return out
 
 
 def _kernel(pk_ref, pk_last, gz_ref, gz_last, pp_ref, pp_last, delp_ref,
-            u_ref, v_ref, rdx_ref, rdy_ref, *consts_outs_scratch, dt: float,
-            bk: int):
-    nc = len(_CONST_NAMES)
-    consts = consts_outs_scratch[:nc]
-    u_out, v_out = consts_outs_scratch[nc : nc + 2]
-    scr = consts_outs_scratch[nc + 2 :]  # pk/gz/pp (BK+1,..), delp (BK,..)
-    gv = _GridView(**{
-        name: ref[0] for name, ref in zip(_CONST_NAMES, consts)
-    })
+            u_ref, v_ref, rdx_ref, rdy_ref, flags_ref, xw_ref, yw_ref,
+            u_out, v_out, s_pk, s_gz, s_pp, s_dpb, *, dt: float, bk: int,
+            h: int, corner_pos: tuple):
+    flags = flags_ref[0, 0]  # (4 + n_corners,)
+    ctx = _A2BCtx(
+        h=h,
+        corner_pos=corner_pos,
+        fw=flags[0],
+        fe=flags[1],
+        fs=flags[2],
+        fn=flags[3],
+        own=tuple(flags[4 + i] for i in range(len(corner_pos))),
+        xw=xw_ref[0],
+        yw=yw_ref[0],
+    )
     rdx = rdx_ref[0]
     rdy = rdy_ref[0]
 
     # stage 1: interpolate each INTERFACE once (BK+1 per block, the block's
-    # last interface coming from the single-plane operand) — the previous
-    # lo/hi formulation interpolated every interior interface twice and
-    # DMA'd each interface field twice. One field per loop so the live
-    # temporary set (the a2b internals) stays ~one call — a single fused
+    # last interface coming from the single-plane operand). One field per
+    # loop so the live temporary set stays ~one call — a single fused
     # per-layer body blew the 16MB scoped-vmem stack at C192.
-    s_pk, s_gz, s_pp, s_dpb = scr
     for f_ref, l_ref, s_ref in (
         (pk_ref, pk_last, s_pk),
         (gz_ref, gz_last, s_gz),
         (pp_ref, pp_last, s_pp),
     ):
         def stage(k, _, f_ref=f_ref, s_ref=s_ref):
-            s_ref[k] = a2b_ord4(f_ref[0, k], gv)
+            s_ref[k] = _a2b_fast(f_ref[0, k], ctx)
             return 0
 
         jax.lax.fori_loop(0, bk, stage, 0)
-        s_ref[bk] = a2b_ord4(l_ref[0, 0], gv)
+        s_ref[bk] = _a2b_fast(l_ref[0, 0], ctx)
 
     def stage_dp(k, _):
-        s_dpb[k] = a2b_ord4(delp_ref[0, k], gv)
+        s_dpb[k] = _a2b_fast(delp_ref[0, k], ctx)
         return 0
 
     jax.lax.fori_loop(0, bk, stage_dp, 0)
@@ -144,10 +267,10 @@ def _kernel(pk_ref, pk_last, gz_ref, gz_last, pp_ref, pp_last, delp_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dt", "bk", "interpret")
+    jax.jit, static_argnames=("dt", "bk", "h", "corner_pos", "interpret")
 )
-def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
-         bk: int = _BK, interpret: bool = False):
+def _run(pk, gz, pp, delp, u, v, rdx, rdy, flags, xw, yw, dt: float,
+         bk: int, h: int, corner_pos: tuple, interpret: bool = False):
     S, K1, Y, X = pk.shape
     K = K1 - 1
     nk = pl.cdiv(K, bk)
@@ -158,9 +281,10 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
         )
 
     def cst(shape):
-        # (S, a, b) constant: one shard slice per block, constant over kb
+        # (S, ...) constant: one shard slice per block, constant over kb
+        zeros = (0,) * len(shape)
         return pl.BlockSpec(
-            (1,) + shape, lambda s, kb: (s, 0, 0)
+            (1,) + shape, lambda s, kb, _z=zeros: (s,) + _z
         )
 
     def last_plane():
@@ -180,10 +304,12 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
         + [fld(K, Y, X)]            # delp
         + [fld(K, Y + 1, X), fld(K, Y, X + 1)]  # u, v
         + [cst((Y + 1, X)), cst((Y, X + 1))]    # rdx, rdy
-        + [cst(c.shape[1:]) for c in consts]
+        + [cst(flags.shape[1:]), cst(xw.shape[1:]), cst(yw.shape[1:])]
     )
     out_specs = [fld(K, Y + 1, X), fld(K, Y, X + 1)]
-    kern = functools.partial(_kernel, dt=dt, bk=bk)
+    kern = functools.partial(
+        _kernel, dt=dt, bk=bk, h=h, corner_pos=corner_pos
+    )
     from jax.experimental.pallas import tpu as pltpu
 
     u2, v2 = pl.pallas_call(
@@ -208,10 +334,10 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
         **({} if interpret else __import__(
             "pace_tpu.ops._dispatch", fromlist=["pallas_cost"]
         ).pallas_cost((pk, gz, pp, delp, u, v), (u, v),
-                      flops_per_point=80)),
+                      flops_per_point=60)),
     )(
         pk, pk, gz, gz, pp, pp,
-        delp, u, v, rdx, rdy, *consts,
+        delp, u, v, rdx, rdy, flags, xw, yw,
     )
     return u2, v2
 
@@ -219,10 +345,52 @@ def _run(pk, gz, pp, delp, u, v, rdx, rdy, consts, dt: float,
 def nh_p_grad_pallas(u, v, pk, gz, pp, delp, grid, dt: float,
                      interpret: bool = False):
     """Drop-in for ops.nonhydro.nh_p_grad (same numerics, fused on-chip)."""
+    import numpy as np
+
     from ._dispatch import fit_block_k
 
-    consts = tuple(getattr(grid, n) for n in _CONST_NAMES)
-    bk = min(fit_block_k(u.shape[-2], u.shape[-1], default=_BK),
-             delp.shape[-3])
-    return _run(pk, gz, pp, delp, u, v, grid.rdx, grid.rdy, consts,
-                float(dt), bk=bk, interpret=interpret)
+    S, _, Y, X = delp.shape
+    h = int(grid.n_halo)
+    if X - 2 * h < 5 or Y - 2 * h < 5:
+        raise ValueError(
+            "pgrad kernel strip specialization needs interior >= 5 cells"
+        )
+    cw, ce, rs, rn = h, X - h, h, Y - h
+    table = tuple(grid.corner_table)
+    corner_pos = tuple((kind, jj, ii) for kind, jj, ii, _own in table)
+    own = np.array(
+        [[1.0 if e[3][s] else 0.0 for e in table] for s in range(S)],
+        dtype=np.float32,
+    ).reshape(S, len(table))
+    flags = jnp.concatenate(
+        [
+            grid.edge_w_iface[:, 0, cw : cw + 1],
+            grid.edge_e_iface[:, 0, ce : ce + 1],
+            grid.edge_s_iface[:, rs, 0:1],
+            grid.edge_n_iface[:, rn, 0:1],
+            jnp.asarray(own, dtype=u.dtype),
+        ],
+        axis=-1,
+    ).astype(u.dtype)[:, None, :]  # (S, 1, 4 + n_corners)
+    xw = jnp.stack(
+        [
+            grid.a2b_x_w0[:, :, cw], grid.a2b_x_wp[:, :, cw],
+            grid.a2b_x_wm[:, :, cw],
+            grid.a2b_x_w0[:, :, ce], grid.a2b_x_wp[:, :, ce],
+            grid.a2b_x_wm[:, :, ce],
+        ],
+        axis=-1,
+    ).astype(u.dtype)  # (S, Y, 6)
+    yw = jnp.stack(
+        [
+            grid.a2b_y_w0[:, rs, :], grid.a2b_y_wp[:, rs, :],
+            grid.a2b_y_wm[:, rs, :],
+            grid.a2b_y_w0[:, rn, :], grid.a2b_y_wp[:, rn, :],
+            grid.a2b_y_wm[:, rn, :],
+        ],
+        axis=-2,
+    ).astype(u.dtype)  # (S, 6, X)
+    bk = min(fit_block_k(Y, X, default=_BK), delp.shape[-3])
+    return _run(pk, gz, pp, delp, u, v, grid.rdx, grid.rdy, flags, xw, yw,
+                float(dt), bk=bk, h=h, corner_pos=corner_pos,
+                interpret=interpret)

@@ -98,18 +98,31 @@ def _remap_kernel(
                 term = jnp.where(hi_valid, cmp_o, 0)
             m_loc = m_loc + term
         off = jnp.clip(m_loc, -D_OFFSET, D_OFFSET)
-        acc = jnp.zeros_like(p)
+        # select the bracketing cell's 6 coefficient planes FIRST (one
+        # cheap where per plane per candidate), then evaluate the cubic
+        # ONCE — the previous form ran the full t-polynomial for all 11
+        # candidates (~2x the VPU work of this one)
+        coefs = None
         for o in range(-D_OFFSET, D_OFFSET + 1):
             kk = jnp.clip(base + o, 0, K - 1)
-            sel = off == o
-            pe1_m = pe1t_s[kk]
-            dp1_m = dp1_s[kk]
-            t = jnp.clip((p - pe1_m) / dp1_m, 0.0, 1.0)
-            f = al_s[kk] * t + 0.5 * da_s[kk] * t**2 + a6_s[kk] * (
-                0.5 * t**2 - t**3 / 3.0
+            cand = (
+                pe1t_s[kk], dp1_s[kk], al_s[kk], da_s[kk], a6_s[kk],
+                q1_s[kk],
             )
-            acc = jnp.where(sel, q1_s[kk] + dp1_m * f, acc)
-        return acc
+            if coefs is None:
+                coefs = cand
+            else:
+                sel = off == o
+                coefs = tuple(
+                    jnp.where(sel, c_new, c_old)
+                    for c_new, c_old in zip(cand, coefs)
+                )
+        pe1_m, dp1_m, al_m, da_m, a6_m, q1_m = coefs
+        t = jnp.clip((p - pe1_m) / dp1_m, 0.0, 1.0)
+        f = al_m * t + 0.5 * da_m * t**2 + a6_m * (
+            0.5 * t**2 - t**3 / 3.0
+        )
+        return q1_m + dp1_m * f
 
     def body(j, q_prev):
         q_here = interface_integral(j + 1)
@@ -177,10 +190,17 @@ def remap_field_pallas(q, pe1, pe2, kord=4,
     pe1f, rep1 = pe_flat(pe1)
     pe2f, rep2 = pe_flat(pe2)
 
-    # (8, 128) = one native f32 tile per k-plane. BY=16 exceeded the 16MB
-    # scoped-vmem stack limit at npz=79 once the kord scheme family grew
-    # the reconstruction's live temporaries (measured 16.08M at C192).
-    BY, BX = 8, 128
+    # (32, 256) = 4x2 native f32 tiles per k-plane: the column loops run
+    # ~8x fewer Mosaic op dispatches per grid-step than the original
+    # (8, 128) single-tile blocks (the kernel is dispatch/VPU-bound, 54
+    # GB/s-equivalent measured at C192). The old 16MB scoped-vmem stack
+    # ceiling that forced (8, 128) is lifted via vmem_limit_bytes below.
+    BY, BX = 32, 256
+    # small planes (tests, coarse shards): shrink to avoid padding waste
+    while BY // 2 >= Y and BY > 8:
+        BY //= 2
+    while BX // 2 >= X and BX > 128:
+        BX //= 2
     ny = pl.cdiv(Y, BY)
     nx = pl.cdiv(X, BX)
 
@@ -214,6 +234,9 @@ def remap_field_pallas(q, pe1, pe2, kord=4,
             pltpu.VMEM((K, BY, BX), q.dtype),  # Q1 at tops
             pltpu.VMEM((K, BY, BX), q.dtype),  # q*dp
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
         **({} if interpret else pallas_cost((qf, pe1f, pe2f), (_out_sds,), flops_per_point=200)),
     )(pe1f, pe2f, qf)
