@@ -74,3 +74,15 @@ def pallas_cost(arrays, out_shapes, flops_per_point: float = 0.0,
         }
     except Exception:  # pragma: no cover - older jax without CostEstimate
         return {}
+
+
+def bcast_plane(val, shape):
+    """Broadcast a ``(..., 1, 1)`` value to ``(..., Y, X)`` in two steps
+    (lanes first, then sublanes) for use INSIDE Pallas kernels: Mosaic has
+    no lowering for a single broadcast in both sublanes and lanes
+    ("Not implemented: Broadcast in both sublanes and lanes"; interpret
+    mode accepts it, so the one-step form fails only on hardware)."""
+    import jax.numpy as jnp
+
+    v = jnp.broadcast_to(val, val.shape[:-1] + (shape[-1],))
+    return jnp.broadcast_to(v, shape)

@@ -163,8 +163,6 @@ def _tail_math(f, c, own, *, dt2, corner_pos):
 
     cell_div = -(x_iface_diff(xfx) + y_iface_diff(yfx)) * rarea / dt2
     Y, X = cell_div.shape[-2:]
-    rowid = jax.lax.broadcasted_iota(jnp.int32, divg.shape[-2:], 0)
-    colid = jax.lax.broadcasted_iota(jnp.int32, divg.shape[-2:], 1)
 
     def cell(jj, ii, a, b):
         if jj >= Y or ii >= X:
@@ -174,6 +172,12 @@ def _tail_math(f, c, own, *, dt2, corner_pos):
             (ii + b) % X : (ii + b) % X + 1,
         ]
 
+    # corner fixes become PATCHES the kernel stores pointwise into the
+    # divg output ref after the plane store: the value-level where-form
+    # needs a (bk,1,1)->(bk,Y,X) broadcast that Mosaic cannot lower
+    # ("Broadcast in both sublanes and lanes"). own[idx] is a 0/1 scalar,
+    # so the arithmetic mix equals the masked select.
+    patches = []
     for idx, (kind, jj, ii) in enumerate(corner_pos):
         folded = _FOLDED[kind]
         acc = None
@@ -182,10 +186,12 @@ def _tail_math(f, c, own, *, dt2, corner_pos):
                 continue
             val = cell(jj, ii, a, b)
             acc = val if acc is None else acc + val
-        mask = (rowid == jj) & (colid == ii) & (own[idx] > 0.5)
-        divg = jnp.where(mask, acc / 3.0, divg)
+        d = divg[..., jj : jj + 1, ii : ii + 1]
+        patches.append(
+            (jj, ii, own[idx] * (acc / 3.0) + (1.0 - own[idx]) * d)
+        )
 
-    return delpc, ptc, uc_new, vc_new, ut, vt, xfx, yfx, divg
+    return (delpc, ptc, uc_new, vc_new, ut, vt, xfx, yfx, divg), patches
 
 
 def _kernel(*refs, dt2, corner_pos, n_corners):
@@ -195,9 +201,12 @@ def _kernel(*refs, dt2, corner_pos, n_corners):
     own_r = refs[nf + nc]
     outs = refs[nf + nc + 1 :]
     own = tuple(own_r[0, 0, j] for j in range(n_corners))
-    res = _tail_math(f, c, own, dt2=dt2, corner_pos=corner_pos)
+    res, patches = _tail_math(f, c, own, dt2=dt2, corner_pos=corner_pos)
     for o_ref, val in zip(outs, res):
         o_ref[0] = val
+    divg_ref = outs[-1]  # divg is the last output
+    for jj, ii, neww in patches:
+        divg_ref[0, :, jj : jj + 1, ii : ii + 1] = neww
 
 
 @functools.partial(

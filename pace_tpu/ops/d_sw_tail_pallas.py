@@ -41,7 +41,7 @@ _BK = 8
 
 def _tail_math(u, v, ut, vt, divg, vort, vfx, vfy, dvfx, dvfy,
                dx, rdx, dy, rdy, rsin2, cosa_s, f0, wgx, wgy, rarea_c,
-               band, d2_col, own, *, dt, cfg, corner_pos, da_min_c):
+               band, d2_col, own, ke_s, *, dt, cfg, corner_pos, da_min_c):
     """The tail on (bk, Y(+1), X(+1)) slabs; identical arithmetic to
     d_sw_tail_jnp. ``cfg`` is the static DSWConfig; ``own`` per-corner
     scalar ownership flags; 2-D consts broadcast over the k axis."""
@@ -64,8 +64,6 @@ def _tail_math(u, v, ut, vt, divg, vort, vfx, vfy, dvfx, dvfy,
     va_c = (v_cov - u_cov * cosa_s) * rsin2
     e_cell = 0.5 * (ua_c * u_cov + va_c * v_cov)
     Y, X = e_cell.shape[-2:]
-    rowid = jax.lax.broadcasted_iota(jnp.int32, ke.shape[-2:], 0)
-    colid = jax.lax.broadcasted_iota(jnp.int32, ke.shape[-2:], 1)
 
     def cell(jj, ii, a, b):
         if jj >= Y or ii >= X:
@@ -75,16 +73,26 @@ def _tail_math(u, v, ut, vt, divg, vort, vfx, vfy, dvfx, dvfy,
             (ii + b) % X : (ii + b) % X + 1,
         ]
 
-    for idx, (kind, jj, ii) in enumerate(corner_pos):
-        folded = _FOLDED[kind]
-        acc = None
-        for (a, b) in _QUADRANTS:
-            if (a, b) == folded:
-                continue
-            val = cell(jj, ii, a, b)
-            acc = val if acc is None else acc + val
-        mask = (rowid == jj) & (colid == ii) & (own[idx] > 0.5)
-        ke = jnp.where(mask, acc / 3.0, ke)
+    # corner patch through the SCRATCH ref with static (1,1)-point stores:
+    # the value-level where-form needs a (bk,1,1)->(bk,Y,X) broadcast,
+    # which Mosaic cannot lower ("Broadcast in both sublanes and lanes");
+    # per-point masked stores of the (bk,1,1) slabs lower fine. own[idx]
+    # is a 0/1 scalar, so the arithmetic mix equals the masked select.
+    if corner_pos:
+        ke_s[...] = ke
+        for idx, (kind, jj, ii) in enumerate(corner_pos):
+            folded = _FOLDED[kind]
+            acc = None
+            for (a, b) in _QUADRANTS:
+                if (a, b) == folded:
+                    continue
+                val = cell(jj, ii, a, b)
+                acc = val if acc is None else acc + val
+            d = ke[..., jj : jj + 1, ii : ii + 1]
+            ke_s[:, jj : jj + 1, ii : ii + 1] = (
+                own[idx] * (acc / 3.0) + (1.0 - own[idx]) * d
+            )
+        ke = ke_s[...]
     dtke = dt * ke
 
     # --- divergence-damping potential chi at corners
@@ -164,7 +172,8 @@ def _kernel(*refs, dt, cfg, corner_pos, has_vd, has_heat, n_corners,
     (dx_r, rdx_r, dy_r, rdy_r, rsin2_r, cosa_r, f0_r, wgx_r, wgy_r,
      rac_r, band_r, d2c_r, own_r) = refs[i : i + 13]
     i += 13
-    outs = refs[i:]
+    outs = refs[i:-1]
+    ke_s = refs[-1]
     u_out, v_out = outs[0], outs[1]
     heat_out = outs[2] if has_heat else None
 
@@ -176,7 +185,8 @@ def _kernel(*refs, dt, cfg, corner_pos, has_vd, has_heat, n_corners,
         dvfy_r[0] if has_vd else None,
         dx_r[0], rdx_r[0], dy_r[0], rdy_r[0], rsin2_r[0], cosa_r[0],
         f0_r[0], wgx_r[0], wgy_r[0], rac_r[0], band_r[0], d2c_r[...],
-        own, dt=dt, cfg=cfg, corner_pos=corner_pos, da_min_c=da_min_c,
+        own, ke_s, dt=dt, cfg=cfg, corner_pos=corner_pos,
+        da_min_c=da_min_c,
     )
     u_out[0] = u_new
     v_out[0] = v_new
@@ -211,7 +221,12 @@ def _run(args, consts, d2_col, own, dt, cfg, corner_pos, bk, da_min_c,
             (1,) + a.shape[1:], lambda s, kb, _z=zeros: (s,) + _z
         )
 
-    d2_spec = pl.BlockSpec((bk, 1, 1), lambda s, kb: (kb, 0, 0))
+    # d2_col arrives lane-EXPANDED (K, 1, Xc+1): in-kernel use broadcasts
+    # it over sublanes only (a both-axes (bk,1,1)->(bk,Y,X) broadcast has
+    # no Mosaic lowering)
+    d2_spec = pl.BlockSpec(
+        (bk, 1, d2_col.shape[-1]), lambda s, kb: (kb, 0, 0)
+    )
     in_specs = (
         [fld(a) for a in args]
         + [cst(c) for c in consts]
@@ -241,6 +256,9 @@ def _run(args, consts, d2_col, own, dt, cfg, corner_pos, bk, da_min_c,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bk, Yc + 1, Xc + 1), u.dtype)  # corner-fixed ke
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -286,7 +304,11 @@ def d_sw_tail_pallas(u, v, ut, vt, divg_d, vort, vfx, vfy, dvfx, dvfy,
         grid.f0, grid.rdx * grid.dyc, grid.rdy * grid.dxc, grid.rarea_c,
         band,
     )
-    d2_col = damping_profile(config, K, u.dtype)[:, :, :]  # (K, 1, 1)
+    # lane-expanded per-k damping column (see d2_spec note in _run)
+    d2_col = jnp.broadcast_to(
+        damping_profile(config, K, u.dtype)[:, :, :],
+        (K, 1, u.shape[-1] + 1),
+    )
     args = [u, v, ut, vt, divg_d, vort, vfx, vfy]
     if dvfx is not None:
         args += [dvfx, dvfy]

@@ -37,19 +37,23 @@ _ALL = ("pe", "peln", "pk", "pkz", "gz")
 def _kernel(delp_ref, pt_ref, phis_ref, *outs_scratch, ptop, need, K):
     outs = outs_scratch[: len(need)]
     pe_s = outs_scratch[len(need)]
+    c_s = outs_scratch[len(need) + 1]
     out = dict(zip(need, outs))
 
-    delp = delp_ref[0]
-    # ascending cumsum: pe[0] = ptop, pe[k+1] = ptop + sum_{m<=k} delp[m]
-    shp = delp.shape[1:]
-    pe_s[0] = jnp.full(shp, ptop, delp.dtype)
+    # ascending cumsum: pe[0] = ptop, pe[k+1] = ptop + sum_{m<=k} delp[m].
+    # Dynamic k-indexing must go through REFS (delp_ref[0, k]), never
+    # through values — value-level dynamic_slice has no Mosaic TC lowering
+    # (it passes interpret mode and fails only on hardware).
+    shp = delp_ref.shape[2:]
+    dtype = delp_ref.dtype
+    pe_s[0] = jnp.full(shp, ptop, dtype)
 
     def fwd(k, acc):
-        acc = acc + delp[k]
+        acc = acc + delp_ref[0, k]
         pe_s[k + 1] = acc + ptop
         return acc
 
-    jax.lax.fori_loop(0, K, fwd, jnp.zeros(shp, delp.dtype))
+    jax.lax.fori_loop(0, K, fwd, jnp.zeros(shp, dtype))
 
     pe = pe_s[...]
     if "pe" in out:
@@ -67,17 +71,19 @@ def _kernel(delp_ref, pt_ref, phis_ref, *outs_scratch, ptop, need, K):
     if "gz" in out:
         pt = pt_ref[0]
         phis = phis_ref[0]
-        contrib = constants.CP_AIR * pt * dpk
+        # stage the per-layer contribution in scratch so the descending
+        # loop reads it at dynamic k through a ref (see fwd-loop note)
+        c_s[...] = constants.CP_AIR * pt * dpk
         gz_ref = out["gz"]
         gz_ref[0, K] = phis
 
         def bwd(i, acc):
             k = K - 1 - i
-            acc = acc + contrib[k]
+            acc = acc + c_s[k]
             gz_ref[0, k] = phis + acc
             return acc
 
-        jax.lax.fori_loop(0, K, bwd, jnp.zeros(shp, delp.dtype))
+        jax.lax.fori_loop(0, K, bwd, jnp.zeros(shp, dtype))
 
 
 @functools.partial(
@@ -115,7 +121,10 @@ def _run(delp, pt, phis, ptop, need, interpret=False):
         in_specs=[fld(K), fld(K), phis_spec],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((K + 1, BY, BX), delp.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((K + 1, BY, BX), delp.dtype),  # pe
+            pltpu.VMEM((K, BY, BX), delp.dtype),  # gz layer contribution
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -202,9 +202,32 @@ def p_grad_c(uc, vc, pkc, gz, grid, dt2: float):
 
 def one_grad_p(u, v, pk, gz, grid, dt: float):
     """Hydrostatic D-grid pressure-gradient update (reference one_grad_p):
-    pk/gz interpolated to corners, then the contour PGF along each edge."""
-    pk_b = a2b_ord4(pk, grid)  # (.., K+1, Y+1, X+1)
-    gz_b = a2b_ord4(gz, grid)
+    pk/gz interpolated to corners, then the contour PGF along each edge.
+
+    The corner interpolations run through the dsl-layer ``FrozenStencil``
+    — the production consumer of the stencil facade, mirroring the
+    reference where AGrid2BGridFourthOrder is a StencilFactory product
+    built once and reused (reference driver/pace/driver/driver.py:471-475;
+    stencil construction in pyFV3's one_grad_p/a2b_ord4). One stencil
+    serves both fields (pk and gz share a shape), exercising the
+    reference's stencil-reuse/caching behavior; origin/domain is the full
+    padded (y, x) window because this op, like every op in this package,
+    computes ghost values that the next halo exchange overwrites.
+    """
+    from ..dsl import StencilFactory
+
+    factory = StencilFactory()
+    # func sees (out_window, q_window); grid is the stencil's "externals"
+    # closure (tracer-safe under the outer jit — metric terms stay jit
+    # arguments, not baked constants)
+    a2b = factory.from_origin_domain(
+        lambda out, q: a2b_ord4(q, grid), origin=(0, 0), domain=(-1, -1)
+    )
+    out_buf = jnp.zeros(
+        pk.shape[:-2] + (pk.shape[-2] + 1, pk.shape[-1] + 1), pk.dtype
+    )
+    pk_b = a2b(out_buf, pk)  # (.., K+1, Y+1, X+1)
+    gz_b = a2b(out_buf, gz)
     du = _pgf_pair(
         gz_b[..., :, :-1],
         gz_b[..., :, 1:],

@@ -178,7 +178,10 @@ def _a2b_fast(q, ctx: _A2BCtx):
             )
             acc = ext if acc is None else acc + ext
         mask = (rowid == jj) & (colid_o == ii) & (ctx.own[idx] > 0.5)
-        out = jnp.where(mask, acc / 3.0, out)
+        # rank-0 splat: Mosaic rejects (1,1)->(Y,X) broadcasts ("Broadcast
+        # in both sublanes and lanes"), including chained one-axis forms
+        # (they get re-collapsed); a scalar where-splat lowers fine
+        out = jnp.where(mask, acc[0, 0] / 3.0, out)
     return out
 
 

@@ -150,3 +150,59 @@ def test_driver_exposes_grid_indexing():
     assert gi.domain == (4, 12, 12)
     assert gi.n_halo == 3
     assert gi.south_edge and gi.north_edge
+
+
+def test_one_grad_p_consumes_frozen_stencil(monkeypatch):
+    """The stencil facade is LOAD-BEARING: the production hydrostatic PGF
+    (one_grad_p, called from the acoustic loop) routes its a2b corner
+    interpolations through FrozenStencil — one factory-built stencil
+    reused for both pk and gz (reference StencilFactory usage,
+    driver.py:471-475). Counts real invocations and checks the result
+    equals the direct a2b computation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pace_tpu import dsl
+    from pace_tpu.grid.generation import GridSpec, MetricTerms
+    from pace_tpu.grid.grid_data import GridData
+    from pace_tpu.ops import pgrad
+
+    calls = []
+    orig = dsl.FrozenStencil.__call__
+
+    def counting(self, *args):
+        calls.append(self)
+        return orig(self, *args)
+
+    monkeypatch.setattr(dsl.FrozenStencil, "__call__", counting)
+
+    mt = MetricTerms.generate(GridSpec(n_tile=12, npz=3, layout=(1, 1)))
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float64)
+    rng = np.random.RandomState(0)
+    S, K, Y, X = 6, 3, 18, 18
+    u = jnp.asarray(rng.randn(S, K, Y + 1, X))
+    v = jnp.asarray(rng.randn(S, K, Y, X + 1))
+    pk = jnp.asarray(1.0 + rng.rand(S, K + 1, Y, X))
+    gz = jnp.asarray(rng.randn(S, K + 1, Y, X) * 100.0)
+    u2, v2 = pgrad.one_grad_p(u, v, pk, gz, grid, 30.0)
+
+    # two invocations of the SAME FrozenStencil instance (stencil reuse)
+    assert len(calls) == 2
+    assert calls[0] is calls[1]
+
+    # equal to the direct formulation (to f64 round-off: the stencil path
+    # runs under its own jit, so fusion/FMA order may differ from
+    # eager; random pk columns make the contour denominator nearly
+    # cancel, amplifying that round-off)
+    pk_b = pgrad.a2b_ord4(pk, grid)
+    gz_b = pgrad.a2b_ord4(gz, grid)
+    from pace_tpu.ops.stencil_utils import bcast_k
+
+    du = pgrad._pgf_pair(
+        gz_b[..., :, :-1], gz_b[..., :, 1:],
+        pk_b[..., :, :-1], pk_b[..., :, 1:],
+        30.0, bcast_k(grid.rdx, u),
+    )
+    np.testing.assert_allclose(
+        np.asarray(u2), np.asarray(u + du), rtol=1e-8, atol=1e-9
+    )

@@ -153,3 +153,94 @@ def test_pgrad_kernel_matches_xla(grid, rngf):
     np.testing.assert_allclose(
         np.asarray(ref_v), np.asarray(out_v), rtol=2e-4, atol=1e-3
     )
+
+
+def test_d2a2c_kernel_matches_xla(grid, rngf):
+    from pace_tpu.ops.d2a2c import d2a2c_vect
+    from pace_tpu.ops.d2a2c_pallas import d2a2c_vect_pallas
+
+    u = rngf(S, K, Y + 1, X, scale=10.0)
+    v = rngf(S, K, Y, X + 1, scale=10.0)
+    ref = d2a2c_vect(u, v, grid)
+    got = jax.jit(lambda *a: d2a2c_vect_pallas(*a, grid))(u, v)
+    b = 3
+    sl = np.s_[:, :, b:-b, b:-b]
+    for name, a, p in zip(("ua", "va", "uc", "vc", "ut", "vt"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(a)[sl], np.asarray(p)[sl], rtol=2e-4, atol=1e-3,
+            err_msg=name,
+        )
+
+
+def test_hydro_kernel_matches_xla(rngf):
+    from pace_tpu.ops.hydro_pallas import hydrostatic_interfaces_pallas
+    from pace_tpu.ops.pgrad import hydrostatic_interfaces
+
+    delp = rngf(S, K, Y, X, scale=50.0, base=150.0)
+    pt = rngf(S, K, Y, X, scale=30.0, base=280.0)
+    phis = rngf(S, Y, X, scale=1000.0, base=1000.0)
+    ref = hydrostatic_interfaces(delp, pt, phis, 300.0)
+    out = hydrostatic_interfaces_pallas(
+        delp, pt, phis, 300.0, need=("pe", "peln", "pk", "pkz", "gz")
+    )
+    tols = {"pe": 1e-6, "peln": 1e-6, "pk": 1e-5, "pkz": 1e-5, "gz": 1e-4}
+    for name, a, b in zip(("pe", "peln", "pk", "pkz", "gz"), ref, out):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=tols[name], atol=1e-2,
+            err_msg=name,
+        )
+
+
+def test_csw_tail_kernel_matches_jnp(grid, rngf):
+    from pace_tpu.ops.c_sw import c_sw_tail_jnp
+    from pace_tpu.ops.c_sw_tail_pallas import c_sw_tail_pallas
+
+    u = rngf(S, K, Y + 1, X)
+    v = rngf(S, K, Y, X + 1)
+    delp = rngf(S, K, Y, X, base=2.0)
+    pt = rngf(S, K, Y, X, scale=10.0, base=260.0)
+    uc, uc_x, uc_y = (rngf(S, K, Y, X + 1) for _ in range(3))
+    vc, vc_x, vc_y = (rngf(S, K, Y + 1, X) for _ in range(3))
+    ua, va, va_x, ua_y = (rngf(S, K, Y, X) for _ in range(4))
+    ref = c_sw_tail_jnp(u, v, delp, pt, uc, vc, uc_x, vc_x, uc_y, vc_y,
+                        ua, va, va_x, ua_y, grid, 30.0)
+    got = jax.jit(
+        lambda *a: c_sw_tail_pallas(*a, grid, 30.0)
+    )(u, v, delp, pt, uc, vc, uc_x, vc_x, uc_y, vc_y, ua, va, va_x, ua_y)
+    names = ("delpc", "ptc", "uc_new", "vc_new", "ut", "vt", "xfx", "yfx",
+             "divg_d")
+    for a, b, name in zip(ref, got, names):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-3,
+            err_msg=name,
+        )
+
+
+def test_dsw_tail_kernel_matches_jnp(grid, rngf):
+    from pace_tpu.ops.d_sw import DSWConfig, d_sw_tail_jnp
+    from pace_tpu.ops.d_sw_tail_pallas import d_sw_tail_pallas
+
+    cfg = DSWConfig(nord=3, d4_bg=0.15, d2_bg=0.0, d2_bg_k1=0.2,
+                    d2_bg_k2=0.1, dddmp=0.5, do_vort_damp=True, vtdm4=0.06,
+                    d_con=1.0)
+    u = rngf(S, K, Y + 1, X)
+    v = rngf(S, K, Y, X + 1)
+    ut = rngf(S, K, Y, X + 1)
+    vt = rngf(S, K, Y + 1, X)
+    divg = rngf(S, K, Y + 1, X + 1, scale=1e-5)
+    vort = rngf(S, K, Y, X, scale=1e-5)
+    vfx, dvfx = (rngf(S, K, Y, X + 1) for _ in range(2))
+    vfy, dvfy = (rngf(S, K, Y + 1, X) for _ in range(2))
+    ref = d_sw_tail_jnp(u, v, ut, vt, divg, vort, vfx, vfy, dvfx, dvfy,
+                        grid, 30.0, cfg)
+    got = jax.jit(
+        lambda *a: d_sw_tail_pallas(*a, grid, 30.0, cfg)
+    )(u, v, ut, vt, divg, vort, vfx, vfy, dvfx, dvfy)
+    for a, b, name in zip(ref, got, ("u", "v", "heat")):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-3,
+            err_msg=name,
+        )
