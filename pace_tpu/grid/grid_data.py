@@ -434,3 +434,46 @@ class GridData:
             da_min=float(mt.area[:, h:-h, h:-h].min()),
             da_min_c=float(mt.area_c[:, h + 1 : -h - 1, h + 1 : -h - 1].min()),
         )
+
+    # ------------------------------------------------------------------
+    # divergence-damping gradient weights (reference MetricTerms.divg_u /
+    # divg_v, SURVEY.md §2.2 grid-generation row; verified fields in
+    # reference tests/mpi_54rank/test_grid_init.py:92-93). Computed from
+    # the resident fields at trace time (cheap, keeps the pytree lean):
+    # the same sina-weighted metric the corner-divergence operator uses,
+    # with the one-sided supergrid sines on tile-edge lines — so the del-n
+    # damping chain iterates a Laplacian CONSISTENT with its divergence.
+    def divg_u(self):
+        """(S, Y+1, X) weight for corner differences along x (u-lines):
+        sina_v * dyc / dx; tile-edge rows use the one-sided supergrid
+        sines 0.5*(sin_sg_n(j-1) + sin_sg_s(j)) exactly as
+        ops.c_sw.divergence_corner does."""
+        from ..ops.stencil_utils import (
+            y_cell_to_left_iface,
+            y_cell_to_right_iface,
+        )
+
+        sin_edge = 0.5 * (
+            y_cell_to_left_iface(self.sin_sg_n)
+            + y_cell_to_right_iface(self.sin_sg_s)
+        )
+        edge_y = jnp.clip(self.edge_s_iface + self.edge_n_iface, 0.0, 1.0)
+        sina = jnp.where(edge_y > 0.0, sin_edge, self.sina_v)
+        return sina * self.dyc * self.rdx
+
+    def divg_v(self):
+        """(S, Y, X+1) weight for corner differences along y (v-lines):
+        sina_u * dxc / dy; tile-edge columns one-sided as in
+        divergence_corner."""
+        from ..ops.stencil_utils import (
+            x_cell_to_left_iface,
+            x_cell_to_right_iface,
+        )
+
+        sin_edge = 0.5 * (
+            x_cell_to_left_iface(self.sin_sg_e)
+            + x_cell_to_right_iface(self.sin_sg_w)
+        )
+        edge_x = jnp.clip(self.edge_w_iface + self.edge_e_iface, 0.0, 1.0)
+        sina = jnp.where(edge_x > 0.0, sin_edge, self.sina_u)
+        return sina * self.dxc * self.rdy

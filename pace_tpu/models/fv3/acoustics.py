@@ -94,12 +94,6 @@ def acoustic_loop(
     if not config.hydrostatic and (w is None or delz is None):
         raise ValueError("nonhydrostatic mode requires w and delz")
     use_beta = config.beta != 0.0
-    if use_beta and not config.hydrostatic:
-        raise ValueError(
-            "beta off-centering is implemented for the hydrostatic pressure"
-            " gradient only (the reference's nonhydrostatic perf configs set"
-            " beta: 0.); set beta=0 for nonhydrostatic runs"
-        )
     dt = dt_atmos_k / config.n_split
     dt2 = 0.5 * dt
     ptop = grid.ptop
@@ -115,8 +109,13 @@ def acoustic_loop(
     # The carried increment is seeded with the PGF of the INITIAL state
     # (one extra evaluation, only when beta != 0 — matching the reference's
     # beta>0 loop-entry one_grad_p).
+    # Nonhydrostatic beta: the off-centered PGF needs the previous substep's
+    # nonhydrostatic pressure increment, which has no analog in the initial
+    # state (pp comes out of the Riemann solve) — so the FIRST substep
+    # applies the full PGF and blending starts at substep 2 (run outside
+    # the scan; see below).
     dugf0 = None
-    if use_beta:
+    if use_beta and config.hydrostatic:
         delp_h0, pt_h0 = halo.update_scalars([delp, pt], fold="x")
         _pe0, _pl0, pk0, _pz0, gz0 = hydrostatic_interfaces(
             delp_h0, pt_h0, phis, ptop
@@ -144,16 +143,19 @@ def acoustic_loop(
     if track_heat:
         acc0 = acc0 + (jnp.zeros_like(delp),)
 
+    carry0 = (u, v, w, delp, pt, delz, acc0, dugf0)
     if config.n_split == 1:
-        (u, v, w, delp, pt, delz, acc, _dugf), _ = substep(
-            (u, v, w, delp, pt, delz, acc0, dugf0), None
+        (u, v, w, delp, pt, delz, acc, _dugf), _ = substep(carry0, None)
+    elif use_beta and dugf0 is None:
+        # nonhydro beta: full-PGF first substep outside the scan seeds the
+        # carried increment; the remaining n_split-1 substeps blend
+        carry1, _ = substep(carry0, None)
+        (u, v, w, delp, pt, delz, acc, _dugf), _ = jax.lax.scan(
+            substep, carry1, None, length=config.n_split - 1
         )
     else:
         (u, v, w, delp, pt, delz, acc, _dugf), _ = jax.lax.scan(
-            substep,
-            (u, v, w, delp, pt, delz, acc0, dugf0),
-            None,
-            length=config.n_split,
+            substep, carry0, None, length=config.n_split
         )
     mfxd, mfyd, cxd, cyd, xfxd, yfxd = acc[:6]
     diss = acc[6] if track_heat else None
@@ -357,11 +359,25 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
                 # measured 25% of the C192 step in the XLA form)
                 from ...ops.pgrad_pallas import nh_p_grad_pallas
 
-                u, v = nh_p_grad_pallas(
+                u2, v2 = nh_p_grad_pallas(
                     u, v, pk_h, gz_if, pp, delp_h, grid, dt
                 )
             else:
-                u, v = nh_p_grad(u, v, pk_h, gz_if, pp, delp_h, grid, dt)
+                u2, v2 = nh_p_grad(u, v, pk_h, gz_if, pp, delp_h, grid, dt)
+            if config.beta != 0.0:
+                # beta off-centering for the nonhydro PGF: same blend as
+                # the hydrostatic branch, seeded by the full-PGF first
+                # substep (see acoustic_loop)
+                du, dv = u2 - u, v2 - v
+                if dugf_prev is not None:
+                    beta = config.beta
+                    u = u + (1.0 - beta) * du + beta * dugf_prev[0]
+                    v = v + (1.0 - beta) * dv + beta * dugf_prev[1]
+                else:
+                    u, v = u2, v2
+                dugf_new = (du, dv)
+            else:
+                u, v = u2, v2
     if config.rf_fast and config.tau > 0.0:
         # rf_fast: Rayleigh damping INSIDE the acoustic substep (reference
         # ray_fast runs per-substep in dyn_core when rf_fast=.true.; the

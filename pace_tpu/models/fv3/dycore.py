@@ -62,6 +62,8 @@ class DynamicalCoreConfig:
     damp_w: float = 0.0
     #: tile-edge del-2 divergence-damping band (see DSWConfig.edge_damp_band)
     edge_damp_band: bool = True
+    #: reference-style divg_u/divg_v damping weights (DSWConfig.lap_divg_weights)
+    lap_divg_weights: bool = False
     ke_bg: float = 0.0
     delt_max: float = 0.002
     do_qa: bool = False
@@ -120,12 +122,8 @@ class DynamicalCoreConfig:
                 " scheme is implemented (tracer_2d_1l, the reference's"
                 " production path); z_tracer=false has no equivalent here"
             )
-        if self.beta != 0.0 and not self.hydrostatic:
-            raise ValueError(
-                "beta off-centering is implemented for the hydrostatic"
-                " pressure gradient only; nonhydrostatic configs must set"
-                " beta: 0. (as the reference c192 perf config does)"
-            )
+        # beta off-centering is implemented for BOTH the hydrostatic and
+        # (since round 4) the nonhydrostatic D-grid PGF; no rejection.
 
     def sat_adjust_config(self):
         """MicrophysicsConfig view of the shared sat-adjustment namelist
@@ -169,6 +167,7 @@ class DynamicalCoreConfig:
                 vtdm4=self.vtdm4,
                 d_con=self.d_con,
                 edge_damp_band=self.edge_damp_band,
+                lap_divg_weights=self.lap_divg_weights,
             ),
             a_imp=self.a_imp,
             p_fac=self.p_fac,

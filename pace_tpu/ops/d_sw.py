@@ -72,6 +72,13 @@ class DSWConfig:
     #: transition EARLIER (day ~6 vs day 7-8 at C48), so the band stays the
     #: production treatment; the knob exists for damping experiments.
     edge_damp_band: bool = True
+    #: weight the del-n damping Laplacian with the reference's grid-
+    #: generated divg_u/divg_v arrays (sina metric, one-sided supergrid
+    #: sines on tile-edge lines — GridData.divg_u/divg_v) instead of the
+    #: plain dyc/dx metric. The VERDICT-r3 second corner-treatment
+    #: experiment; measured against edge_damp_band by the JW2006
+    #: unperturbed transition (tools/run_jw2006.py --divg-weights).
+    lap_divg_weights: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -188,7 +195,9 @@ def d_sw_tail_jnp(u, v, ut, vt, divg_d, vort, vfx, vfy, dvfx, dvfy,
         # iteration keeps intermediates O(1) in f32 (see delnflux)
         d2 = divg_d
         for _ in range(config.nord):
-            d2 = lap_corner(d2, grid) * grid.da_min_c
+            d2 = lap_corner(
+                d2, grid, divg_weights=config.lap_divg_weights
+            ) * grid.da_min_c
         dampn = config.d4_bg ** (config.nord + 1) * grid.da_min_c
         chin = dampn * d2 * ((-1.0) ** config.nord)
         if config.edge_damp_band:

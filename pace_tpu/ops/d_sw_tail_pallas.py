@@ -299,9 +299,15 @@ def d_sw_tail_pallas(u, v, ut, vt, divg_d, vort, vfx, vfy, dvfx, dvfy,
         0.0,
         1.0,
     )  # (S, Y+1, X+1)
+    # damping-Laplacian gradient weights: plain metric or the reference's
+    # sina-carrying divg_u/divg_v arrays (DSWConfig.lap_divg_weights)
+    if config.lap_divg_weights:
+        wgx, wgy = grid.divg_u(), grid.divg_v()
+    else:
+        wgx, wgy = grid.rdx * grid.dyc, grid.rdy * grid.dxc
     consts = (
         grid.dx, grid.rdx, grid.dy, grid.rdy, grid.rsin2, grid.cosa_s,
-        grid.f0, grid.rdx * grid.dyc, grid.rdy * grid.dxc, grid.rarea_c,
+        grid.f0, wgx, wgy, grid.rarea_c,
         band,
     )
     # lane-expanded per-k damping column (see d2_spec note in _run)

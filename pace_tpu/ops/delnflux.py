@@ -62,20 +62,28 @@ def delnflux(q, grid, nord: int, damp_c: float, da_min: float):
     return damp * fx, damp * fy
 
 
-def lap_corner(q, grid):
+def lap_corner(q, grid, divg_weights: bool = False):
     """Laplacian-like operator for corner-registered fields (dual mesh),
     used to iterate divergence damping to higher order.
 
     q: (.., Y+1, X+1). Differences along primal edge directions between
     adjacent corners (sitting at the staggered wind points), weighted by the
     crossing dual-face length over edge length; divergence back onto corners.
+
+    ``divg_weights=True`` weights the gradients with the reference's
+    sina-carrying divg_u/divg_v metric arrays (one-sided supergrid sines
+    on tile-edge lines, GridData.divg_u/divg_v) — the formulation the
+    reference's divergence_damping iterates; gated by
+    DSWConfig.lap_divg_weights.
     """
     # gx[..., k] connects corners k -> k+1 (at the u point (jj, k)); weight
     # = transverse dual length dyc / edge length dx
+    wgx = grid.divg_u() if divg_weights else grid.rdx * grid.dyc
+    wgy = grid.divg_v() if divg_weights else grid.rdy * grid.dxc
     gx = q[..., :, 1:] - q[..., :, :-1]  # (.., Y+1, X)
-    gx = gx * bcast_k(grid.rdx * grid.dyc, gx)
+    gx = gx * bcast_k(wgx, gx)
     gy = q[..., 1:, :] - q[..., :-1, :]  # (.., Y, X+1)
-    gy = gy * bcast_k(grid.rdy * grid.dxc, gy)
+    gy = gy * bcast_k(wgy, gy)
     lap = (
         x_cell_to_right_iface(gx)
         - x_cell_to_left_iface(gx)

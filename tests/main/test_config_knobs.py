@@ -28,11 +28,37 @@ def test_z_tracer_false_rejected():
         DynamicalCoreConfig(z_tracer=False)
 
 
-def test_nonhydro_beta_rejected():
-    with pytest.raises(ValueError, match="beta"):
-        DynamicalCoreConfig(beta=0.4, hydrostatic=False)
-    # hydrostatic beta is fine
-    DynamicalCoreConfig(beta=0.4, hydrostatic=True)
+def test_nonhydro_beta_live():
+    """beta off-centering acts on the nonhydrostatic PGF (round-4: the
+    former rejection is replaced by the split blend, acoustics.py). With
+    n_split=1 only the full-PGF seeding substep runs, so beta is inert;
+    with n_split>=2 it must change the answer."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pace_tpu.grid.generation import GridSpec, MetricTerms
+    from pace_tpu.grid.grid_data import GridData
+    from pace_tpu.models.fv3.dycore import DynamicalCore
+    from pace_tpu.models.fv3.state import DycoreState
+
+    mt = MetricTerms.generate(GridSpec(n_tile=12, npz=8, layout=(1, 1)))
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float32)
+    state0 = DycoreState.from_baroclinic_init(
+        mt, perturbation=True, dtype=jnp.float32
+    )
+
+    def step(beta, n_split):
+        cfg = DynamicalCoreConfig(
+            npz=8, k_split=1, n_split=n_split, hydrostatic=False,
+            nord=1, d4_bg=0.12, beta=beta,
+        )
+        core = DynamicalCore(grid, mt.halo, cfg, timestep=300.0)
+        return np.asarray(core.step_dynamics(state0).u)
+
+    u_b0 = step(0.0, 2)
+    u_b4 = step(0.4, 2)
+    assert not np.allclose(u_b0, u_b4), "beta must change the nonhydro answer"
+    np.testing.assert_array_equal(step(0.0, 1), step(0.4, 1))
 
 
 BASE = dict(

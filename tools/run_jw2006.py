@@ -42,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(n_tile: int, npz: int, dt: float, perturbation: bool, f64: bool,
-          edge_damp_band: bool = True):
+          edge_damp_band: bool = True, lap_divg_weights: bool = False):
     import jax.numpy as jnp
 
     from pace_tpu.grid.generation import GridSpec, MetricTerms
@@ -62,6 +62,7 @@ def build(n_tile: int, npz: int, dt: float, perturbation: bool, f64: bool,
         n_sponge=2, d_ext=0.02, d2_bg_k1=0.2, d2_bg_k2=0.1,
         kord_mt=9, kord_tm=-9, kord_tr=9, kord_wz=9,
         edge_damp_band=edge_damp_band,
+        lap_divg_weights=lap_divg_weights,
     )
     core = DynamicalCore(grid, mt.halo, cfg, timestep=dt, donate=True)
     state = DycoreState.from_baroclinic_init(
@@ -71,11 +72,13 @@ def build(n_tile: int, npz: int, dt: float, perturbation: bool, f64: bool,
 
 
 def run(n_tile=48, npz=26, days=10, dt=1200.0, perturbation=True,
-        f64=True, emit=print, edge_damp_band=True):
+        f64=True, emit=print, edge_damp_band=True,
+        lap_divg_weights=False):
     import numpy as np
 
     mt, core, state = build(n_tile, npz, dt, perturbation, f64,
-                            edge_damp_band=edge_damp_band)
+                            edge_damp_band=edge_damp_band,
+                            lap_divg_weights=lap_divg_weights)
     h = 3
     # cell-center latitudes, compute domain (same slice as ps below)
     lat_c = np.degrees(np.asarray(mt.lat_agrid))[..., h:-h, h:-h]
@@ -116,6 +119,10 @@ def main(argv=None):
     p.add_argument("--no-edge-band", action="store_true",
                    help="disable the tile-edge del-2 damping band (relies "
                    "on the sina-weighted one-sided lap_corner)")
+    p.add_argument("--divg-weights", action="store_true",
+                   help="weight the damping Laplacian with the grid-"
+                   "generated divg_u/divg_v arrays (reference corner "
+                   "treatment, DSWConfig.lap_divg_weights)")
     args = p.parse_args(argv)
     if not args.f32:
         import jax
@@ -127,7 +134,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     run(args.n_tile, args.npz, args.days, args.dt,
         not args.no_perturbation, not args.f32,
-        edge_damp_band=not args.no_edge_band)
+        edge_damp_band=not args.no_edge_band,
+        lap_divg_weights=args.divg_weights)
     return 0
 
 
