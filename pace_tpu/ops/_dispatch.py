@@ -8,7 +8,7 @@ the reference's per-backend stencil selection, and the bisection tool for
 separating kernel bugs from model numerics.
 
 Known names: ``fvtp2d``, ``d2a2c``, ``remap``, ``sim1``, ``pgrad``,
-``dsw_tail``, ``csw_tail``, ``hydro`` (the
+``dsw_tail``, ``csw_tail``, ``hydro``, ``updatedz`` (the
 halo-exchange kernel has its own switch, ``PACE_TPU_HALO_ASSEMBLY`` in
 halo_slabs.py).
 """

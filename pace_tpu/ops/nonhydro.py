@@ -267,7 +267,20 @@ def riem_solver_c(w, delz, ptc, delpc, pkz, ws, dt2: float, ptop: float,
 
 def heights_from_delz(delz, phis):
     """Interface geopotential heights zh [m] integrated up from the surface.
-    delz (.., K, Y, X) negative; phis (.., Y, X) surface geopotential."""
+    delz (.., K, Y, X) negative; phis (.., Y, X) surface geopotential.
+    TPU f32 dispatches to the Pallas column kernel (XLA lowers the reverse
+    cumsum to reduce_window passes plus a concat copy)."""
+    from ._dispatch import use_pallas
+
+    if (
+        use_pallas("updatedz")
+        and delz.dtype == jnp.float32
+        and delz.ndim == 4
+        and phis.ndim == 3
+    ):
+        from .updatedz_pallas import heights_from_delz_pallas
+
+        return heights_from_delz_pallas(delz, phis)
     zs = jnp.expand_dims(phis, -3) / constants.GRAV
     csum = jnp.cumsum(delz[..., ::-1, :, :], axis=-3)[..., ::-1, :, :]
     zh_top = zs - csum  # zh_k = zs - sum_{m>=k} delz_m (delz<0 => zh above zs)
@@ -291,6 +304,12 @@ def updatedz_c(zh_x, zh_y, xfx_l, yfx_l, grid, dt2: float):
     Returns (zh_new, ws_c) with the bottom interface pinned back to the
     surface.
     """
+    from ._dispatch import use_pallas
+
+    if use_pallas("updatedz") and zh_x.dtype == jnp.float32:
+        from .updatedz_pallas import updatedz_c_pallas
+
+        return updatedz_c_pallas(zh_x, zh_y, xfx_l, yfx_l, grid.area, dt2)
 
     def to_iface(f):
         mid = 0.5 * (f[..., :-1, :, :] + f[..., 1:, :, :])
@@ -340,6 +359,14 @@ def updatedz_d(zh_x, zh_y, crx, cry, xfx, yfx, grid, dt: float, hord: int = 5):
     xfx_i = to_iface(xfx)
     yfx_i = to_iface(yfx)
     fl = fvtp2d(zh_x, zh_y, crx_i, cry_i, xfx_i, yfx_i, grid.area, hord)
+    from ._dispatch import use_pallas
+
+    if use_pallas("updatedz") and zh_x.dtype == jnp.float32:
+        from .updatedz_pallas import flux_height_update_pallas
+
+        return flux_height_update_pallas(
+            zh_x, fl.fx, fl.fy, xfx_i, yfx_i, grid.area
+        )
     area_b = bcast_k(grid.area, zh_x)
     ra = area_b + x_iface_diff(xfx_i) + y_iface_diff(yfx_i)
     zh_new = (

@@ -244,3 +244,85 @@ def test_dsw_tail_kernel_matches_jnp(grid, rngf):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-3,
             err_msg=name,
         )
+
+
+def test_updatedz_kernels_match_xla(grid, rngf):
+    from pace_tpu.ops import nonhydro
+    from pace_tpu.ops.updatedz_pallas import (
+        flux_height_update_pallas,
+        heights_from_delz_pallas,
+        updatedz_c_pallas,
+    )
+
+    delz = -rngf(S, K, Y, X, scale=100.0, base=150.0)
+    phis = rngf(S, Y, X, scale=2000.0, base=2000.0)
+    xfx = rngf(S, K, Y, X + 1, scale=1e5)
+    yfx = rngf(S, K, Y + 1, X, scale=1e5)
+
+    zh_ref = jax.jit(
+        lambda d, p: nonhydro.heights_from_delz(
+            d.astype(jnp.float64), p.astype(jnp.float64)
+        )
+    )(delz, phis).astype(jnp.float32)
+    zh = jax.jit(heights_from_delz_pallas)(delz, phis)
+    np.testing.assert_allclose(
+        np.asarray(zh_ref), np.asarray(zh), rtol=1e-5, atol=1e-2
+    )
+
+    zh_y = zh * 1.001
+    # jnp twin replicated inline (the module function dispatches to the
+    # kernel on this backend)
+    from pace_tpu.ops.stencil_utils import (
+        bcast_k,
+        x_cell_to_left_iface,
+        x_cell_to_right_iface,
+        x_iface_diff,
+        y_cell_to_left_iface,
+        y_cell_to_right_iface,
+        y_iface_diff,
+    )
+
+    def to_iface(f):
+        mid = 0.5 * (f[..., :-1, :, :] + f[..., 1:, :, :])
+        return jnp.concatenate(
+            [f[..., :1, :, :], mid, f[..., -1:, :, :]], axis=-3
+        )
+
+    def jnp_updatedzc(zh_x, zh_yf, xfx_l, yfx_l):
+        xfxi, yfxi = to_iface(xfx_l), to_iface(yfx_l)
+        zx = jnp.where(
+            xfxi > 0.0, x_cell_to_left_iface(zh_x), x_cell_to_right_iface(zh_x)
+        )
+        zy = jnp.where(
+            yfxi > 0.0, y_cell_to_left_iface(zh_yf), y_cell_to_right_iface(zh_yf)
+        )
+        area_b = bcast_k(grid.area, zh_x)
+        ra = area_b + x_iface_diff(xfxi) + y_iface_diff(yfxi)
+        zh_new = (
+            zh_x * area_b + x_iface_diff(zx * xfxi) + y_iface_diff(zy * yfxi)
+        ) / ra
+        zs = zh_x[..., -1:, :, :]
+        ws = (zh_new[..., -1:, :, :] - zs)[..., 0, :, :] / 30.0
+        return jnp.concatenate([zh_new[..., :-1, :, :], zs], axis=-3), ws
+
+    ref_zh, ref_ws = jax.jit(jnp_updatedzc)(zh, zh_y, xfx, yfx)
+    out_zh, out_ws = jax.jit(
+        lambda *a: updatedz_c_pallas(*a, 30.0)
+    )(zh, zh_y, xfx, yfx, grid.area)
+    np.testing.assert_allclose(
+        np.asarray(ref_zh), np.asarray(out_zh), rtol=2e-4, atol=1e-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_ws), np.asarray(out_ws), rtol=2e-4, atol=1e-1
+    )
+
+    fx = rngf(S, K + 1, Y, X + 1, scale=1e6)
+    fy = rngf(S, K + 1, Y + 1, X, scale=1e6)
+    xfxi, yfxi = to_iface(xfx), to_iface(yfx)
+    area_b = bcast_k(grid.area, zh)
+    ra = area_b + x_iface_diff(xfxi) + y_iface_diff(yfxi)
+    ref = (zh * area_b + x_iface_diff(fx) + y_iface_diff(fy)) / ra
+    out = jax.jit(flux_height_update_pallas)(zh, fx, fy, xfxi, yfxi, grid.area)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), rtol=2e-4, atol=1e-1
+    )
