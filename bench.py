@@ -89,8 +89,10 @@ def main():
         kord_tm=-9,
         kord_tr=9,
         kord_wz=9,
+        # reference tracer_2d_1l semantics (the production default since
+        # round 4); BENCH_DYNAMIC_TRACER=0 pins the static count for A/B
         tracer_dynamic_subcycle=(
-            os.environ.get("BENCH_DYNAMIC_TRACER", "0") == "1"
+            os.environ.get("BENCH_DYNAMIC_TRACER", "1") == "1"
         ),
     )
     core = DynamicalCore(grid, mt.halo, cfg, timestep=200.0, donate=True)

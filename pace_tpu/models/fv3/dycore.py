@@ -81,13 +81,15 @@ class DynamicalCoreConfig:
     n_split_tracer: int = 1
     #: derive the tracer sub-cycle count from the global max courant number
     #: each step (reference tracer_2d_1l behavior — a CFL-violating state
-    #: sub-cycles harder instead of silently corrupting tracers); n_split_
-    #: tracer becomes the minimum. Traced while-loop count: no recompile.
-    #: Default OFF: correct and tested at small scale (CPU + C48 on a real
-    #: v5e), but the while-loop + kernel combination hits a TPU runtime
-    #: fault at C192 npz=79 on v5e (under investigation); the static count
-    #: with a safety-margin n_split_tracer is the production setting.
-    tracer_dynamic_subcycle: bool = False
+    #: sub-cycles harder instead of silently corrupting tracers);
+    #: n_split_tracer becomes the minimum. Default ON since round 4 (the
+    #: reference's semantics): the count is a runtime value driving a
+    #: lax.switch over static-length scans, bounded by
+    #: MAX_DYNAMIC_SUBCYCLES — no recompiles, and measured wall-neutral at
+    #: C192 on a v5e when the flow needs only the minimum count. (The
+    #: earlier traced-while-loop form faulted the TPU runtime at C128+
+    #: inside the full program; see ops/tracer_advection.py.)
+    tracer_dynamic_subcycle: bool = True
     a_imp: float = 1.0
     p_fac: float = 0.05
     beta: float = 0.0

@@ -75,9 +75,14 @@ class DSWConfig:
     #: weight the del-n damping Laplacian with the reference's grid-
     #: generated divg_u/divg_v arrays (sina metric, one-sided supergrid
     #: sines on tile-edge lines — GridData.divg_u/divg_v) instead of the
-    #: plain dyc/dx metric. The VERDICT-r3 second corner-treatment
-    #: experiment; measured against edge_damp_band by the JW2006
-    #: unperturbed transition (tools/run_jw2006.py --divg-weights).
+    #: plain dyc/dx metric. SECOND corner-treatment experiment (round 4,
+    #: reference-faithful formulation per VERDICT r3 #6), measured by the
+    #: JW2006 unperturbed C48 f64 transition with the edge band OFF:
+    #: day-by-day ps_min within ~3 hPa of the default band treatment and
+    #: marginally DEEPER days 7-9 (976.0/963.1/950.0 vs 978.7/966.2/953.0
+    #: hPa) — the transition still happens at day 7-8, so the band stays
+    #: the production default and this knob remains an experiment switch
+    #: (tools/run_jw2006.py --divg-weights --no-edge-band).
     lap_divg_weights: bool = False
 
 

@@ -12,11 +12,12 @@ fvtp2d over tracers one at a time).
 
 The sub-cycle count is either static (config ``n_split_tracer``) or derived
 from the GLOBAL max courant number each step (``dynamic=True`` — the
-reference tracer_2d_1l behavior): n = floor(max|c|) + 1, evaluated as a
-traced scalar inside one compiled program (a ``lax.while_loop`` trip count —
-no recompile; under a sharded mesh the max is a global all-reduce so every
-device runs the same count). The dynamic path guarantees CFL-safe tracer
-transport when a storm pushes the winds past the static assumption.
+reference tracer_2d_1l behavior, the DEFAULT since round 4): n =
+floor(max|c|) + 1, evaluated as a traced scalar inside one compiled program
+(a bounded ``lax.switch`` over static-length scans — no recompile; under a
+sharded mesh the max is a global all-reduce so every device runs the same
+count). The dynamic path guarantees CFL-safe tracer transport when a storm
+pushes the winds past the static assumption.
 """
 
 from __future__ import annotations
@@ -25,6 +26,14 @@ import jax.numpy as jnp
 
 from .fvtp2d import fvtp2d_best as fvtp2d
 from .stencil_utils import bcast_k, x_iface_diff, y_iface_diff
+
+#: static bound on the runtime-derived sub-cycle count (dynamic=True):
+#: the count selects a ``lax.switch`` branch, so it can vary at runtime
+#: without a while-loop (see the workaround note in advect_tracers) and
+#: without recompiles; the compile cost is one subcycle-body instance per
+#: branch. floor(max courant)+1 > 4 would mean a per-substep courant > 3
+#: — far beyond the transport scheme's stability envelope.
+MAX_DYNAMIC_SUBCYCLES = 4
 
 
 def advect_tracers(
@@ -67,8 +76,8 @@ def advect_tracers(
         when ``dynamic=True``.
     dynamic:
         derive the sub-cycle count from the global max courant number
-        (reference tracer_2d_1l: n = floor(max|c|) + 1), as a traced
-        while-loop trip count.
+        (reference tracer_2d_1l: n = floor(max|c|) + 1), bounded by
+        MAX_DYNAMIC_SUBCYCLES (static switch dispatch — see below).
 
     Returns
     -------
@@ -80,10 +89,15 @@ def advect_tracers(
 
     if dynamic:
         # global CFL: max |courant| over every face of the whole cube
-        # (an all-reduce when S is sharded; every device gets the same n)
+        # (an all-reduce when S is sharded; every device gets the same n).
+        # The count is bounded by MAX_DYNAMIC_SUBCYCLES so the loop can be
+        # a STATIC scan (see below); a per-substep courant beyond that
+        # bound is far outside the scheme's stability envelope anyway.
         c_max = jnp.maximum(jnp.max(jnp.abs(crx)), jnp.max(jnp.abs(cry)))
-        n_dyn = jnp.maximum(
-            jnp.floor(c_max).astype(jnp.int32) + 1, n_split
+        n_dyn = jnp.clip(
+            jnp.maximum(jnp.floor(c_max).astype(jnp.int32) + 1, n_split),
+            1,
+            MAX_DYNAMIC_SUBCYCLES,
         )
         frac = 1.0 / n_dyn.astype(crx.dtype)
     else:
@@ -161,9 +175,33 @@ def advect_tracers(
         for _ in range(n_split):
             q, dp1 = one_subcycle(q, dp1)
     else:
-        # traced trip count: one compiled body, CFL-adaptive iterations
-        # (reference tracer_2d_1l's runtime n_split)
-        q, dp1 = jax.lax.fori_loop(
-            0, n_dyn, lambda i, c: one_subcycle(*c), (q, dp1)
+        # CFL-adaptive iterations with STATIC loop structure (reference
+        # tracer_2d_1l's runtime n_split): a lax.switch over per-count
+        # branches, each a static-length scan of the shared body — runtime
+        # cost is EXACTLY n_dyn sub-cycles, compile cost is
+        # MAX_DYNAMIC_SUBCYCLES instances of the one body, no recompiles.
+        # Two alternatives were measured and rejected: (1) the traced-
+        # trip-count fori_loop (lowered to a while-loop) combined with the
+        # Pallas kernel bodies faults the TPU runtime inside the full
+        # dycore program at C128+ ("TPU device error"; minimized repros of
+        # the while+kernel nesting alone pass at C192 npz=79, so the
+        # trigger needs the full program — pinned as a runtime bug, see
+        # docs/dycore.md); (2) a scan-of-cond over the bounded range
+        # measured +0.44 s/step at C192 from the pass-through iterations'
+        # carry copies.
+        def run_k(k):
+            def f(c):
+                (qq, dd), _ = jax.lax.scan(
+                    lambda cc, _x: (one_subcycle(*cc), None),
+                    c, None, length=k,
+                )
+                return (qq, dd)
+
+            return f
+
+        q, dp1 = jax.lax.switch(
+            n_dyn - 1,
+            [run_k(k) for k in range(1, MAX_DYNAMIC_SUBCYCLES + 1)],
+            (q, dp1),
         )
     return q, dp1
