@@ -150,7 +150,12 @@ def main():
             with jax.profiler.trace(td):
                 state = one_step(state)
                 jax.block_until_ready(state.u)
-                _ = jax.device_get(state.u[0, 0, 0, 0])
+            # the result fetch must stay OUTSIDE the trace: a device_get
+            # inside adds a ~0.5 s host round-trip idle gap to the trace
+            # span, which made span > sum and silently disabled the
+            # span-based overlap correction below (measured: span 5.52 s
+            # with the get inside vs 4.96 s without, same program)
+            _ = jax.device_get(state.u[0, 0, 0, 0])
             events = _trace_op_events(td)
         if events:
             device_step_s = sum(e["dur"] / 1e6 for e in events)

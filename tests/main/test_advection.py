@@ -211,7 +211,9 @@ def test_dynamic_subcycle_splits_on_large_courant():
 
     q = jnp.asarray(1.0 + 0.1 * rng.standard_normal((S, 2, K, ny, nx)))
     dp1 = 50.0 + mk()
-    crx = jnp.clip(mk(dx=1, s=0.5), -0.9, 0.9).at[0, 0, 0, 0].set(2.7)
+    # the large courant must sit in the INTERIOR: the dynamic count maxes
+    # over the compute domain only (corner ghost zones hold junk by design)
+    crx = jnp.clip(mk(dx=1, s=0.5), -0.9, 0.9).at[0, 0, 9, 9].set(2.7)
     cry = jnp.clip(mk(dy=1, s=0.5), -0.9, 0.9)
     xfx, yfx = mk(dx=1, s=1e7), mk(dy=1, s=1e7)
     # mass fluxes must be single-valued on shared tile-edge interfaces
@@ -239,3 +241,47 @@ def test_dynamic_subcycle_splits_on_large_courant():
     np.testing.assert_allclose(
         np.asarray(q_u2)[:, :, :, h:-h, h:-h], 1.0, rtol=1e-12
     )
+
+
+def test_dynamic_subcycle_ignores_corner_ghost_junk():
+    """The dynamic count maxes |c| over the compute domain only: the corner
+    ghost zones of the halo-padded courant arrays are never read by any
+    stencil and hold unassembled junk (measured |c|~282 on the baroclinic
+    init), so a huge corner value must NOT raise the sub-cycle count."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pace_tpu.grid.generation import GridSpec, MetricTerms
+    from pace_tpu.grid.grid_data import GridData
+    from pace_tpu.ops.tracer_advection import advect_tracers
+
+    mt = MetricTerms.generate(GridSpec(n_tile=12, npz=3, layout=(1, 1)))
+    grid = GridData.from_metric_terms(mt, dtype=jnp.float64)
+    halo = mt.halo
+    rng = np.random.default_rng(9)
+    S, K, ny, nx = 6, 3, 18, 18
+
+    def mk(dy=0, dx=0, s=1.0):
+        return jnp.asarray(s * rng.standard_normal((S, K, ny + dy, nx + dx)))
+
+    q = jnp.asarray(1.0 + 0.1 * rng.standard_normal((S, 2, K, ny, nx)))
+    dp1 = 50.0 + mk()
+    # interior |c| < 1 everywhere; plant junk in all four corner ghost zones
+    crx = jnp.clip(mk(dx=1, s=0.3), -0.9, 0.9)
+    for ys, xs in ((0, 0), (0, -1), (-1, 0), (-1, -1)):
+        crx = crx.at[:, :, ys, xs].set(282.0)
+    cry = jnp.clip(mk(dy=1, s=0.3), -0.9, 0.9).at[:, :, 1, -2].set(-97.0)
+    xfx, yfx = mk(dx=1, s=1e7), mk(dy=1, s=1e7)
+    mfx, mfy = mk(dx=1, s=1e8), mk(dy=1, s=1e8)
+
+    q_d, dp_d = advect_tracers(
+        q, dp1, crx, cry, xfx, yfx, mfx, mfy, halo, grid, dynamic=True
+    )
+    q_1, dp_1 = advect_tracers(
+        q, dp1, crx, cry, xfx, yfx, mfx, mfy, halo, grid,
+        n_split=1, dynamic=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_d), np.asarray(q_1), rtol=1e-13, atol=1e-13
+    )
+    np.testing.assert_allclose(np.asarray(dp_d), np.asarray(dp_1), rtol=1e-13)
