@@ -52,6 +52,41 @@ def _al_limited(q, shift):
     return 0.5 * (shift(q, -1) + q) + (shift(dm, -1) - dm) / 6.0
 
 
+def _dm_mono(q, shift):
+    """Mono limited slope (Lin 2004 style): the centered slope clamped to
+    the distance from the cell mean to the local 3-cell extremes, with sign
+    transfer — zero at extrema, |dm| <= min(q_hi, q_lo) inside."""
+    qp = shift(q, 1)
+    qm = shift(q, -1)
+    xt = 0.5 * (qp - qm)
+    q_hi = jnp.maximum(jnp.maximum(qm, q), qp) - q
+    q_lo = q - jnp.minimum(jnp.minimum(qm, q), qp)
+    lim = jnp.minimum(jnp.abs(xt), jnp.minimum(q_hi, q_lo))
+    return jnp.where(xt >= 0.0, lim, -lim)
+
+
+def _perturbations_mono(q, shift):
+    """hord=8 monotone interface perturbations, dm-clamp formulation.
+
+    The slope-limited interpolant al (CW84-style, from _dm_mono slopes) is
+    clamped so each interface perturbation satisfies |b| <= 2|dm| with the
+    slope's sign — the leaner mono constraint of the FV3 xppm family
+    (reference pyFV3.stencils.xppm role, SURVEY.md §2.3) instead of the
+    three-case CW84 parabola test. Equivalent monotonicity guarantee
+    (asserted by test_xppm_monotone_no_overshoot to 1e-12 at f64), ~16%
+    faster on the C192 tracer-transport kernel (VMEM-traffic-bound: cost
+    tracks op count; see docs/performance.md round-5 campaign)."""
+    dm = _dm_mono(q, shift)
+    al = 0.5 * (shift(q, -1) + q) + (1.0 / 3.0) * (shift(dm, -1) - dm)
+    xt2 = 2.0 * dm
+    axt = jnp.abs(xt2)
+    blm = jnp.minimum(axt, jnp.abs(al - q))
+    brm = jnp.minimum(axt, jnp.abs(shift(al, 1) - q))
+    bl = jnp.where(xt2 >= 0.0, -blm, blm)
+    br = jnp.where(xt2 >= 0.0, brm, -brm)
+    return bl, br
+
+
 def _monotone_limit(q, bl, br):
     """Colella-Woodward monotonicity constraint on interface perturbations.
 
@@ -109,15 +144,15 @@ def _positive_limit(q, bl, br):
 
 
 def _perturbations(q, hord: int, shift):
-    al = _al_limited(q, shift) if hord == 8 else _al_unlimited(q, shift)
+    if hord == 8:
+        return _perturbations_mono(q, shift)
+    al = _al_unlimited(q, shift)
     bl = al - q
     br = shift(al, 1) - q
     if hord in (5, 6):
         pass  # unlimited
     elif hord == 7:
         bl, br = _positive_limit(q, bl, br)
-    elif hord == 8:
-        bl, br = _monotone_limit(q, bl, br)
     else:
         raise ValueError(f"unsupported hord {hord}; choose from {SUPPORTED_HORDS}")
     return bl, br
