@@ -184,29 +184,37 @@ def _one_substep(u, v, w, delp, pt, delz, phis, grid, halo, config, dt, dt2,
     substep's D-grid pressure-gradient increments when beta off-centering
     is active (hydrostatic only)."""
     hydro = config.hydrostatic
+    from ...ops.folds import CornerPatch
+
     # ---- async scalar exchange (reference start_halo_update(...).wait(),
     # VERDICT r2 #3): the scalar-batch collectives are ISSUED here; the
     # D-grid vector exchange + its slab assembly run while they are in
-    # flight (no data dependence — asserted by tests/main/test_halo_overlap)
+    # flight (no data dependence — asserted by tests/main/test_halo_overlap).
+    # delp/pt/w y-folds are consumed only by fvtp2d kernels, which accept
+    # the fold as (x-fold + corner pack) — the full y-fold arrays are never
+    # materialized in HBM (round-5 halo-bytes attack). delz needs real full
+    # folds (its y-fold feeds the updatedz height cumsum).
     fields = [delp, pt]
-    if w is not None and delz is not None:
-        fields += [w, delz]
-    scalar_hdl = halo.start_update_scalars_folds(fields)
-    # both corner folds from one assembly + corner patches (folds only
-    # differ at cube corners — see halo_slabs.update_*_folds)
-    (u_x, v_x), (u_y, v_y) = halo.update_vector_folds(u, v, kind="dgrid")
+    if w is not None:
+        fields.append(w)
+    scalar_hdl = halo.start_update_scalars_fold_patches(fields)
+    # only the consumed folds: u is y-swept, v x-swept (module header) —
+    # u_x/v_y have no consumer, so they are never materialized
+    u_y, v_x = halo.update_vector_fold_pair(u, v, kind="dgrid")
     w_x = w_y = None
     delz_y = None
-    if w is not None and delz is not None:
-        (delp_x, delp_y), (pt_x, pt_y), (w_x, w_y), (delz, delz_y) = (
-            scalar_hdl.wait()
-        )
-    else:
-        (delp_x, delp_y), (pt_x, pt_y) = scalar_hdl.wait()
+    if delz is not None:
         if w is not None:
-            w_x, w_y = halo.update_scalar_folds(w)
-        if delz is not None:
+            delz, delz_y = halo.update_scalar_folds(delz)
+        else:
             delz = halo.update_scalar(delz, fold="x")
+    if w is not None:
+        (delp_x, delp_p), (pt_x, pt_p), (w_x, w_p) = scalar_hdl.wait()
+        w_y = CornerPatch(w_p)
+    else:
+        (delp_x, delp_p), (pt_x, pt_p) = scalar_hdl.wait()
+    delp_y = CornerPatch(delp_p)
+    pt_y = CornerPatch(pt_p)
 
     # --- C-grid half step + its pressure gradient
     if checkpointer is not None:

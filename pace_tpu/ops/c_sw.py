@@ -253,8 +253,9 @@ def c_sw(u, v, delp, pt, grid, halo, dt2: float):
     uc, vc = halo.sync_vector_interfaces(uc, vc, kind="cgrid")
     uc_x, vc_x = halo.update_vector(uc, vc, kind="cgrid", fold="x")
     uc_y, vc_y = halo.update_vector(uc, vc, kind="cgrid", fold="y")
-    ua_x, va_x = halo.update_vector(ua, va, kind="agrid", fold="x")
-    ua_y, va_y = halo.update_vector(ua, va, kind="agrid", fold="y")
+    # only the consumed folds (the tail reads va_x and ua_y; ua_x/va_y
+    # have no consumer)
+    ua_y, va_x = halo.update_vector_fold_pair(ua, va, kind="agrid")
 
     from ._dispatch import use_pallas
 

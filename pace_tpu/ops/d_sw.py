@@ -302,10 +302,14 @@ def d_sw(
     rarea = grid.rarea
 
     # vorticity is needed below for the momentum update; computing it here
-    # lets its transport ride the same batched fvtp2d as pt/w
+    # lets its transport ride the same batched fvtp2d as pt/w. Its y-fold
+    # is consumed only by the transport kernel -> corner pack, not a
+    # second full array (see ops.folds).
+    from .folds import CornerPatch
+
     vort = absolute_vorticity_centers(u, v, grid)
-    vort_x = halo.update_scalar(vort, fold="x")
-    vort_y = halo.update_scalar(vort, fold="y")
+    vort_x, vort_p = halo.update_scalar_fold_patch(vort)
+    vort_y = CornerPatch(vort_p)
 
     # --- mass fluxes
     fl = fvtp2d(delp_x, delp_y, crx, cry, xfx, yfx, grid.area, config.hord_dp)

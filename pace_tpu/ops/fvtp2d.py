@@ -68,6 +68,9 @@ def fvtp2d(
         values times ``mfx``/``mfy`` instead of ``xfx``/``yfx`` (the
         delp-weighted tracer-transport path).
     """
+    from .folds import materialize_qy
+
+    qy = materialize_qy(qx, qy)
     area_b = bcast_k(area, qx)
 
     # 1-D PPM interface values of the raw field (inner terms, also reused for

@@ -90,7 +90,25 @@ def _fvtp2d_block(
     return fx, fy
 
 
-def _kernel(*refs, hord, use_mf, interpret):
+def _patch_qy(qx, p, scr_r):
+    """Reconstruct the y-fold in VMEM: copy the x-fold block to scratch,
+    overwrite the four corner ghost rects from the (…, 2h, 2h) pack value
+    ``p`` (ops.folds layout [[SW, SE], [NW, NE]]), read back as a value.
+    Static ref-slice writes — Mosaic has no DUS/scatter lowering for
+    values."""
+    h = p.shape[-1] // 2
+    Y, X = qx.shape[-2:]
+    scr_r[...] = qx
+    scr_r[..., :h, :h] = p[..., :h, :h]
+    scr_r[..., :h, X - h:] = p[..., :h, h:]
+    scr_r[..., Y - h:, :h] = p[..., h:, :h]
+    scr_r[..., Y - h:, X - h:] = p[..., h:, h:]
+    return scr_r[...]
+
+
+def _kernel(*refs, hord, use_mf, qy_patch, interpret):
+    if qy_patch:
+        refs, scr_r = refs[:-1], refs[-1]
     if use_mf:
         (qx_r, qy_r, crx_r, cry_r, xfx_r, yfx_r, area_r, mfx_r, mfy_r,
          fx_r, fy_r) = refs
@@ -101,7 +119,7 @@ def _kernel(*refs, hord, use_mf, interpret):
     X = qx_r.shape[-1]
     Y = qx_r.shape[-2]
     qx = qx_r[...]
-    qy = qy_r[...]
+    qy = _patch_qy(qx, qy_r[...], scr_r) if qy_patch else qy_r[...]
     crx = crx_r[..., :, :X]
     cry = cry_r[..., :Y, :]
     xfx = xfx_r[..., :, :X]
@@ -119,9 +137,10 @@ def _kernel(*refs, hord, use_mf, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hord", "use_mf", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("hord", "use_mf", "qy_patch", "block_k", "interpret"),
 )
-def _run(args, hord, use_mf, block_k, interpret):
+def _run(args, hord, use_mf, qy_patch, block_k, interpret):
     qx = args[0]
     S, K, Y, X = qx.shape
     nb = pl.cdiv(K, block_k)
@@ -148,16 +167,23 @@ def _run(args, hord, use_mf, block_k, interpret):
         jax.ShapeDtypeStruct((S, K, Y + 1, X), qx.dtype),
     )
     kernel = functools.partial(
-        _kernel, hord=hord, use_mf=use_mf, interpret=interpret
+        _kernel, hord=hord, use_mf=use_mf, qy_patch=qy_patch,
+        interpret=interpret,
     )
     from ._dispatch import pallas_cost
 
+    scratch = (
+        [pltpu.VMEM((1, block_k, Y, X), qx.dtype)]
+        if qy_patch and pltpu is not None
+        else []
+    )
     return pl.pallas_call(
         kernel,
         grid=(S, nb),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
         **(
             {"compiler_params": _COMPILER_PARAMS,
@@ -183,18 +209,27 @@ def fvtp2d_pallas(
     interpret: bool = False,
 ):
     """Fused-transport fluxes; same contract as :func:`fvtp2d.fvtp2d` for
-    4-D (S, K, Y, X) fields. Returns (fx, fy) at natural interface sizes;
-    the outermost interface row/col (never consumed) is zero rather than the
-    XLA path's garbage values."""
+    4-D (S, K, Y, X) fields. ``qy`` may be a :class:`folds.CornerPatch`
+    (the y-fold reconstructed in VMEM — no second full-size HBM array).
+    Returns (fx, fy) at natural interface sizes; the outermost interface
+    row/col (never consumed) is zero rather than the XLA path's garbage
+    values."""
+    from .folds import CornerPatch
+
+    qy_patch = isinstance(qy, CornerPatch)
+    if qy_patch:
+        qy = qy.data
     use_mf = mfx is not None
     args = [qx, qy, crx, cry, xfx, yfx, area]
     if use_mf:
         args += [mfx, mfy]
-    from ._dispatch import fit_block_k
+    from ._dispatch import fit_block_k, run_kernel_sharded
 
     bk = min(fit_block_k(qx.shape[-2], qx.shape[-1], default=block_k),
              qx.shape[1])
-    return _run(tuple(args), hord, use_mf, bk, interpret)
+    return run_kernel_sharded(
+        lambda *a: _run(a, hord, use_mf, qy_patch, bk, interpret), args
+    )
 
 
 # --- multi-field variant ----------------------------------------------------
@@ -207,8 +242,10 @@ def fvtp2d_pallas(
 # fields inside VMEM: for 3 fields, ~13 HBM field reads instead of ~25.
 
 
-def _kernel_multi(*refs, hords, use_mfs, interpret):
+def _kernel_multi(*refs, hords, use_mfs, patches, interpret):
     n = len(hords)
+    if any(patches):
+        refs, scr_r = refs[:-1], refs[-1]
     q_refs = refs[: 2 * n]
     crx_r, cry_r, xfx_r, yfx_r, area_r = refs[2 * n : 2 * n + 5]
     pos = 2 * n + 5
@@ -235,7 +272,11 @@ def _kernel_multi(*refs, hords, use_mfs, interpret):
 
     for f in range(n):
         qx = q_refs[2 * f][...]
-        qy = q_refs[2 * f + 1][...]
+        qy = (
+            _patch_qy(qx, q_refs[2 * f + 1][...], scr_r)
+            if patches[f]
+            else q_refs[2 * f + 1][...]
+        )
         wx = wx_mf if use_mfs[f] else xfx
         wy = wy_mf if use_mfs[f] else yfx
         fx, fy = _fvtp2d_block(
@@ -251,9 +292,10 @@ def _kernel_multi(*refs, hords, use_mfs, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hords", "use_mfs", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("hords", "use_mfs", "patches", "block_k", "interpret"),
 )
-def _run_multi(args, hords, use_mfs, block_k, interpret):
+def _run_multi(args, hords, use_mfs, patches, block_k, interpret):
     n = len(hords)
     qx = args[0]
     S, K, Y, X = qx.shape
@@ -285,7 +327,13 @@ def _run_multi(args, hords, use_mfs, block_k, interpret):
         out_shape.append(jax.ShapeDtypeStruct((S, K, Y, X + 1), qx.dtype))
         out_shape.append(jax.ShapeDtypeStruct((S, K, Y + 1, X), qx.dtype))
     kernel = functools.partial(
-        _kernel_multi, hords=hords, use_mfs=use_mfs, interpret=interpret
+        _kernel_multi, hords=hords, use_mfs=use_mfs, patches=patches,
+        interpret=interpret,
+    )
+    scratch = (
+        [pltpu.VMEM((1, block_k, Y, X), qx.dtype)]
+        if any(patches) and pltpu is not None
+        else []
     )
     return pl.pallas_call(
         kernel,
@@ -293,6 +341,7 @@ def _run_multi(args, hords, use_mfs, block_k, interpret):
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
         **(
             {"compiler_params": _COMPILER_PARAMS,
@@ -316,11 +365,15 @@ def _run_multi(args, hords, use_mfs, block_k, interpret):
 
 
 def _kernel_tracer(q_x_r, q_y_r, crx_r, cry_r, xfx_r, yfx_r, area_r,
-                   mfx_r, mfy_r, fx_r, fy_r, *, hord, interpret):
+                   mfx_r, mfy_r, fx_r, fy_r, *scr, hord, qy_patch,
+                   interpret):
     X = q_x_r.shape[-1]
     Y = q_x_r.shape[-2]
     qx = q_x_r[:, 0]
-    qy = q_y_r[:, 0]
+    if qy_patch:
+        qy = _patch_qy(qx, q_y_r[:, 0], scr[0])
+    else:
+        qy = q_y_r[:, 0]
     crx = crx_r[..., :, :X]
     cry = cry_r[..., :Y, :]
     xfx = xfx_r[..., :, :X]
@@ -338,10 +391,10 @@ def _kernel_tracer(q_x_r, q_y_r, crx_r, cry_r, xfx_r, yfx_r, area_r,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hord", "block_k", "interpret")
+    jax.jit, static_argnames=("hord", "qy_patch", "block_k", "interpret")
 )
 def _run_tracer(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy,
-                hord, block_k, interpret):
+                hord, qy_patch, block_k, interpret):
     S, NQ, K, Y, X = qx.shape
     nb = pl.cdiv(K, block_k)
 
@@ -359,8 +412,16 @@ def _run_tracer(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy,
     area_spec = pl.BlockSpec(
         (1,) + area.shape[-2:], lambda s, kb, qi: (s, 0, 0)
     )
+    qy_spec = (
+        pl.BlockSpec(
+            (1, 1, block_k) + qy.shape[-2:],
+            lambda s, kb, qi: (s, qi, kb, 0, 0),
+        )
+        if qy_patch
+        else q_spec()
+    )
     in_specs = [
-        q_spec(), q_spec(),
+        q_spec(), qy_spec,
         shared_spec(crx), shared_spec(cry),
         shared_spec(xfx), shared_spec(yfx),
         area_spec,
@@ -372,7 +433,12 @@ def _run_tracer(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy,
         jax.ShapeDtypeStruct((S, NQ, K, Y + 1, X), qx.dtype),
     )
     kernel = functools.partial(
-        _kernel_tracer, hord=hord, interpret=interpret
+        _kernel_tracer, hord=hord, qy_patch=qy_patch, interpret=interpret
+    )
+    scratch = (
+        [pltpu.VMEM((1, block_k, Y, X), qx.dtype)]
+        if qy_patch and pltpu is not None
+        else []
     )
     from ._dispatch import pallas_cost
 
@@ -382,6 +448,7 @@ def _run_tracer(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
         **(
             {"compiler_params": _COMPILER_PARAMS,
@@ -409,17 +476,26 @@ def fvtp2d_tracer_pallas(
 ):
     """Mass-flux-weighted transport of a stacked tracer block.
 
-    ``qx``/``qy``: ``(S, nq, K, Y, X)`` corner-fold variants of the tracers;
-    all other operands as in :func:`fvtp2d_pallas` (shared by every tracer).
-    Returns ``(fx, fy)`` of shapes ``(S, nq, K, Y, X+1)`` / ``(S, nq, K,
-    Y+1, X)``, each tracer identical to its single-field call.
+    ``qx``/``qy``: ``(S, nq, K, Y, X)`` corner-fold variants of the tracers
+    (``qy`` may be a :class:`folds.CornerPatch` of shape ``(S, nq, K, 2h,
+    2h)`` — the y-fold is then reconstructed in VMEM); all other operands
+    as in :func:`fvtp2d_pallas` (shared by every tracer). Returns
+    ``(fx, fy)`` of shapes ``(S, nq, K, Y, X+1)`` / ``(S, nq, K, Y+1, X)``,
+    each tracer identical to its single-field call.
     """
     from ._dispatch import fit_block_k
+    from .folds import CornerPatch
 
+    qy_patch = isinstance(qy, CornerPatch)
+    if qy_patch:
+        qy = qy.data
     bk = min(fit_block_k(qx.shape[-2], qx.shape[-1], default=block_k),
              qx.shape[2])
-    return _run_tracer(
-        qx, qy, crx, cry, xfx, yfx, area, mfx, mfy, int(hord), bk, interpret
+    from ._dispatch import run_kernel_sharded
+
+    return run_kernel_sharded(
+        lambda *a: _run_tracer(*a, int(hord), qy_patch, bk, interpret),
+        (qx, qy, crx, cry, xfx, yfx, area, mfx, mfy),
     )
 
 
@@ -437,31 +513,36 @@ def fvtp2d_multi_pallas(
 ):
     """Transport several fields with shared winds in ONE fused kernel.
 
-    ``fields`` is a sequence of ``(qx, qy, hord, use_mf)`` tuples; fields with
-    ``use_mf=True`` weight their interface values by ``mfx``/``mfy`` (the
-    mass-flux path), others by ``xfx``/``yfx``. Returns a list of
-    ``(fx, fy)`` pairs in field order, each identical (up to compile-order
-    round-off on CPU) to the corresponding single-field call.
+    ``fields`` is a sequence of ``(qx, qy, hord, use_mf)`` tuples; ``qy``
+    may be a :class:`folds.CornerPatch` (y-fold reconstructed in VMEM).
+    Fields with ``use_mf=True`` weight their interface values by ``mfx``/
+    ``mfy`` (the mass-flux path), others by ``xfx``/``yfx``. Returns a
+    list of ``(fx, fy)`` pairs in field order, each identical (up to
+    compile-order round-off on CPU) to the corresponding single-field call.
     """
+    from .folds import CornerPatch
+
     hords = tuple(int(h) for (_, _, h, _) in fields)
     use_mfs = tuple(bool(m) for (_, _, _, m) in fields)
+    patches = tuple(isinstance(qy, CornerPatch) for (_, qy, _, _) in fields)
     q0 = fields[0][0]
-    for qx, qy, _, _ in fields:
+    for (qx, qy, _, _), is_p in zip(fields, patches):
         # output shapes and block specs are sized from fields[0]; a mismatch
         # would otherwise surface as an obscure Pallas layout error
-        if qx.shape != q0.shape or qy.shape != q0.shape:
+        if qx.shape != q0.shape or (not is_p and qy.shape != q0.shape):
             raise ValueError(
                 f"fvtp2d_multi_pallas: all fields must share shape "
-                f"{q0.shape}, got {qx.shape}/{qy.shape}"
+                f"{q0.shape}, got {qx.shape}/{getattr(qy, 'shape', '?')}"
             )
-        if qx.dtype != q0.dtype or qy.dtype != q0.dtype:
+        qy_dt = qy.data.dtype if is_p else qy.dtype
+        if qx.dtype != q0.dtype or qy_dt != q0.dtype:
             raise ValueError(
                 f"fvtp2d_multi_pallas: all fields must share dtype "
-                f"{q0.dtype}, got {qx.dtype}/{qy.dtype}"
+                f"{q0.dtype}, got {qx.dtype}/{qy_dt}"
             )
     args = []
-    for qx, qy, _, _ in fields:
-        args += [qx, qy]
+    for (qx, qy, _, _), is_p in zip(fields, patches):
+        args += [qx, qy.data if is_p else qy]
     args += [crx, cry, xfx, yfx, area]
     if any(use_mfs):
         assert mfx is not None and mfy is not None
@@ -471,5 +552,10 @@ def fvtp2d_multi_pallas(
     q00 = fields[0][0]
     bk = min(fit_block_k(q00.shape[-2], q00.shape[-1], default=block_k),
              q00.shape[1])
-    flat = _run_multi(tuple(args), hords, use_mfs, bk, interpret)
+    from ._dispatch import run_kernel_sharded
+
+    flat = run_kernel_sharded(
+        lambda *a: _run_multi(a, hords, use_mfs, patches, bk, interpret),
+        args,
+    )
     return [(flat[2 * f], flat[2 * f + 1]) for f in range(len(fields))]

@@ -101,9 +101,12 @@ def advect_tracers(
         # a STATIC scan (see below); a per-substep courant beyond that
         # bound is far outside the scheme's stability envelope anyway.
         h = grid.n_halo
+        # the interior slice assumes halo-padded operands; h == 0 would make
+        # [h:-h] an empty slice and jnp.max raise on a zero-size array
+        sl = slice(h, -h) if h else slice(None)
         c_max = jnp.maximum(
-            jnp.max(jnp.abs(crx[..., h:-h, h:-h])),
-            jnp.max(jnp.abs(cry[..., h:-h, h:-h])),
+            jnp.max(jnp.abs(crx[..., sl, sl])),
+            jnp.max(jnp.abs(cry[..., sl, sl])),
         )
         n_dyn = jnp.clip(
             jnp.maximum(jnp.floor(c_max).astype(jnp.int32) + 1, n_split),
@@ -144,13 +147,16 @@ def advect_tracers(
             # (qx_all/qy_all/fx/fy) — at C192 npz=79 nq=9 f32 that is
             # ~2.6 GB extra, fine on a 16 GB chip; for much larger nq use
             # PACE_TPU_DISABLE_PALLAS=fvtp2d to fall back to per-tracer.
+            from .folds import CornerPatch
             from .fvtp2d_pallas import fvtp2d_tracer_pallas
 
-            qx_all = halo.update_scalar(q, stagger="center", fold="x")
-            qy_all = halo.update_scalar(q, stagger="center", fold="y")
+            # one fold + corner pack: the y-fold tracer block (0.67 GB at
+            # C192 nq=9) is reconstructed inside the kernel's VMEM instead
+            # of being written to and re-read from HBM
+            qx_all, qp = halo.update_scalar_fold_patch(q, stagger="center")
             fx, fy = fvtp2d_tracer_pallas(
-                qx_all, qy_all, crx, cry, xfx, yfx, grid.area, mfx, mfy, hord,
-                interpret=interpret,
+                qx_all, CornerPatch(qp), crx, cry, xfx, yfx, grid.area,
+                mfx, mfy, hord, interpret=interpret,
             )
             # make cross-tile-edge fluxes single-valued (exact conservation)
             fx, fy = halo.sync_vector_interfaces(fx, fy, kind="cgrid")

@@ -438,6 +438,26 @@ class HaloExchanger:
         """[(qi_xfold, qi_yfold)] batched over several fields."""
         return self._slabs.update_scalars_folds(qs, stagger=stagger)
 
+    def update_vector_fold_pair(
+        self, u, v, kind: str = "dgrid", fold_u: str = "y", fold_v: str = "x"
+    ):
+        """(u in fold_u, v in fold_v) — see SlabHalo.update_vector_fold_pair."""
+        return self._slabs.update_vector_fold_pair(
+            u, v, kind=kind, fold_u=fold_u, fold_v=fold_v
+        )
+
+    def update_scalar_fold_patch(self, q, stagger: str = "center"):
+        """(q_xfold, y_corner_patch) — see SlabHalo.update_scalar_fold_patch."""
+        return self._slabs.update_scalar_fold_patch(q, stagger=stagger)
+
+    def update_scalars_fold_patches(self, qs, stagger: str = "center"):
+        return self._slabs.update_scalars_fold_patches(qs, stagger=stagger)
+
+    def start_update_scalars_fold_patches(self, qs, stagger: str = "center"):
+        return self._slabs.start_update_scalars_fold_patches(
+            qs, stagger=stagger
+        )
+
     def update_vector_folds(self, u, v, kind: str = "dgrid"):
         """((u_x, v_x), (u_y, v_y)) — both folds of a vector halo update."""
         return self._slabs.update_vector_folds(u, v, kind=kind)

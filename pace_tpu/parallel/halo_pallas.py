@@ -76,7 +76,10 @@ def _halo_kernel(*refs, in_names, out_pairs, ops_per_out):
     ins = {name: refs[i] for i, name in enumerate(in_names)}
     outs = {name: refs[ni + i] for i, (name, _) in enumerate(out_pairs)}
     for name, src in out_pairs:
-        outs[name][...] = ins[src][...]
+        # src=None marks a region-only output (corner-patch pack): every
+        # element is written by its ops, no interior copy-through
+        if src is not None:
+            outs[name][...] = ins[src][...]
     for dst, op in ops_per_out:
         out_ref = outs[dst]
         r0, r1, c0, c1 = op.dst_rect
@@ -174,9 +177,12 @@ def exchange_pallas_multi(
     (S, Y, X) fields are lifted to K=1; (S, *mid, Y, X) has mid flattened.
     All inputs must share S, K (after lifting) and dtype.
     outputs: [(out_name, src_input_name)] — each output starts as a copy of
-    its source input. ops_per_out: list of (out_name, _RegionOp); op classes
-    name *input* components as sources. ops_key: hashable cache token
-    identifying the tables. Returns {out_name: array} shaped like the source.
+    its source input — or [(out_name, None, (y, x))] for a region-only
+    output of explicit plane shape whose every element is covered by its
+    ops (the corner-patch packs; no interior copy). ops_per_out: list of
+    (out_name, _RegionOp); op classes name *input* components as sources.
+    ops_key: hashable cache token identifying the tables. Returns
+    {out_name: array} shaped like the source (leading dims restored).
     """
     in_names = sorted(inputs)
     lifted: Dict[str, Tuple[jnp.ndarray, object]] = {}
@@ -198,14 +204,19 @@ def exchange_pallas_multi(
                 M *= d
             arrays.append(a.reshape((S, M, Y, X)))
             lifted[name] = (
-                lambda out, mid=mid, S=S, Y=Y, X=X: out.reshape(
-                    (S,) + mid + (Y, X)
+                lambda out, mid=mid, S=S: out.reshape(
+                    (S,) + mid + out.shape[-2:]
                 )
             )
-    src_of = dict(outputs)
+    outputs = [o if len(o) == 3 else (o[0], o[1], None) for o in outputs]
+    src_of = {name: src for name, src, _ in outputs}
     out_shapes = tuple(
-        inputs[src].shape[-2:] for _, src in outputs
+        shape if src is None else inputs[src].shape[-2:]
+        for _, src, shape in outputs
     )
+    # lifting for src=None outputs follows the FIRST input's leading dims
+    lifted[None] = lifted[in_names[0]]
+    outputs = [(name, src) for name, src, _ in outputs]
     if block_k is None:
         # VMEM budget: each input and output block double-buffered by the
         # pipeline -> 2 copies of each per-k slab resident at once, in the

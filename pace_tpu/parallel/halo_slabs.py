@@ -556,6 +556,139 @@ class SlabHalo:
         return (u_x, v_x), (u_y, v_y)
 
     # ------------------------------------------------------------------
+    # fold + corner-patch updates: the x and y folds differ ONLY in the
+    # four corner ghost regions, so Pallas-kernel consumers can take the
+    # full x-fold plus a tiny (2h, 2h) pack of the y-fold's corner values
+    # ([[SW, SE], [NW, NE]]) and synthesize the y-fold in VMEM
+    # (ops.folds.apply_corner_patch) — the second full-size array is never
+    # materialized in HBM. This is the "one fold + corner patches" design
+    # (the reference instead mutates corners in place per sweep via
+    # copy_corners, which a functional program cannot).
+    # ------------------------------------------------------------------
+    def _patch_ops(self, stagger: str, fold: str):
+        """The fold's corner-region ops with dst rects remapped into the
+        (2h, 2h) patch plane: low rows/cols keep their offsets, high
+        rows/cols shift down by (ny, nx)."""
+        from .halo import interface_extents
+
+        h = self.halo.n_halo
+        ey, ex = interface_extents(stagger)
+        ny = self.halo.nsy + ey
+        nx = self.halo.nsx + ex
+        ops = []
+        for op in self._scalar_ops_for(stagger, fold):
+            if op.name not in _CORNER_NAMES:
+                continue
+            r0, r1, c0, c1 = op.dst_rect
+            pr0 = r0 if r0 < h else r0 - ny
+            pc0 = c0 if c0 < h else c0 - nx
+            ops.append(
+                dataclasses.replace(
+                    op,
+                    dst_rect=(pr0, pr0 + (r1 - r0), pc0, pc0 + (c1 - c0)),
+                )
+            )
+        return ops
+
+    def _patch_from_full(self, qy, stagger: str):
+        """Extract the (…, 2h, 2h) corner pack from a full fold result —
+        the non-kernel fallback (XLA single-chip and sharded-mesh paths)."""
+        h = self.halo.n_halo
+        lo_r, hi_r = qy[..., :h, :], qy[..., -h:, :]
+        return jnp.concatenate(
+            [
+                jnp.concatenate([lo_r[..., :h], lo_r[..., -h:]], axis=-1),
+                jnp.concatenate([hi_r[..., :h], hi_r[..., -h:]], axis=-1),
+            ],
+            axis=-2,
+        )
+
+    @_halo_scope
+    def update_scalar_fold_patch(self, q, stagger: str = "center"):
+        """(q_xfold, y_corner_patch). The patch is the y-fold's four corner
+        ghost regions packed [[SW, SE], [NW, NE]] into (…, 2h, 2h);
+        apply_corner_patch(q_xfold, patch) == update_scalar(q, fold="y")
+        exactly (asserted by test_halo_folds)."""
+        sm = self._shardmap()
+        if sm is None and self._use_pallas():
+            from .halo_pallas import exchange_pallas_multi
+
+            h = self.halo.n_halo
+            ops_x = self._scalar_ops_for(stagger, "x")
+            ops_p = self._patch_ops(stagger, "y")
+            out = exchange_pallas_multi(
+                {"q": q},
+                [("qx", "q"), ("qp", None, (2 * h, 2 * h))],
+                [("qx", op) for op in ops_x] + [("qp", op) for op in ops_p],
+                (self._token, "scalar_fold_patch", stagger, q.ndim),
+            )
+            return out["qx"], out["qp"]
+        if sm is not None:
+            qx, qy = sm.update_scalar_folds(q, stagger=stagger)
+        else:
+            qx = self.update_scalar(q, stagger=stagger, fold="x")
+            qy = self.update_scalar(q, stagger=stagger, fold="y")
+        return qx, self._patch_from_full(qy, stagger)
+
+    @_halo_scope
+    def update_scalars_fold_patches(self, qs, stagger: str = "center"):
+        """[(qi_xfold, yi_patch)] for several same-shaped fields."""
+        return [self.update_scalar_fold_patch(q, stagger=stagger) for q in qs]
+
+    def start_update_scalars_fold_patches(self, qs, stagger: str = "center"):
+        """Async variant (see start_update_scalars_folds)."""
+        sm = self._shardmap()
+        if sm is not None:
+            from .halo_shardmap import AsyncHaloUpdate
+
+            hdl = sm.start_update_scalars_folds(qs, stagger=stagger)
+            return AsyncHaloUpdate(
+                lambda: [
+                    (qx, self._patch_from_full(qy, stagger))
+                    for qx, qy in hdl.wait()
+                ]
+            )
+        from .halo_shardmap import AsyncHaloUpdate
+
+        return AsyncHaloUpdate(
+            lambda: self.update_scalars_fold_patches(qs, stagger=stagger)
+        )
+
+    @_halo_scope
+    def update_vector_fold_pair(
+        self, u, v, kind: str = "dgrid", fold_u: str = "y", fold_v: str = "x"
+    ):
+        """(u in fold_u, v in fold_v) — ONLY the fold each component's
+        consumer reads. The D-grid u is y-swept and v x-swept (acoustics.py
+        header), and c_sw's A-grid consumers read va_x/ua_y only — the
+        both-folds variant materializes (and the kernel writes) two arrays
+        nothing consumes. One kernel pass, half the output traffic of
+        update_vector_folds."""
+        sm = self._shardmap()
+        if sm is not None:
+            (u_x, v_x), (u_y, v_y) = sm.update_vector_folds(u, v, kind=kind)
+            return (u_y if fold_u == "y" else u_x,
+                    v_x if fold_v == "x" else v_y)
+        for fold in ("x", "y"):
+            key = (kind, fold)
+            if key not in self._vector_ops:
+                self._vector_ops[key] = self._build_vector_ops(kind, fold)
+        ops_u = self._vector_ops[(kind, fold_u)]["u"]
+        ops_v = self._vector_ops[(kind, fold_v)]["v"]
+        if self._use_pallas():
+            from .halo_pallas import exchange_pallas_multi
+
+            out = exchange_pallas_multi(
+                {"u": u, "v": v},
+                [("uf", "u"), ("vf", "v")],
+                [("uf", op) for op in ops_u] + [("vf", op) for op in ops_v],
+                (self._token, "vector_pair", kind, fold_u, fold_v, u.ndim),
+            )
+            return out["uf"], out["vf"]
+        srcs = {"u": u, "v": v}
+        return self._assemble(u, ops_u, srcs), self._assemble(v, ops_v, srcs)
+
+    # ------------------------------------------------------------------
     # interface sync (thin-line slab ops derived from the sync tables)
     # ------------------------------------------------------------------
     def _build_sync_ops(self, kind: str):

@@ -63,6 +63,44 @@ class _FoldsDefaultsMixin:
             lambda: self.update_scalars_folds(qs, stagger=stagger)
         )
 
+    def _patch_of(self, qy, n_halo=None):
+        h = n_halo if n_halo is not None else getattr(
+            getattr(self, "halo", None), "n_halo", 3
+        )
+        lo_r, hi_r = qy[..., :h, :], qy[..., -h:, :]
+        return jnp.concatenate(
+            [
+                jnp.concatenate([lo_r[..., :h], lo_r[..., -h:]], axis=-1),
+                jnp.concatenate([hi_r[..., :h], hi_r[..., -h:]], axis=-1),
+            ],
+            axis=-2,
+        )
+
+    def update_scalar_fold_patch(self, q, stagger: str = "center"):
+        """(x-fold, y-corner pack) — see SlabHalo.update_scalar_fold_patch;
+        strategy backends derive the pack from the full y-fold."""
+        qx, qy = self.update_scalar_folds(q, stagger=stagger)
+        return qx, self._patch_of(qy)
+
+    def update_scalars_fold_patches(self, qs, stagger: str = "center"):
+        return [
+            self.update_scalar_fold_patch(q, stagger=stagger) for q in qs
+        ]
+
+    def start_update_scalars_fold_patches(self, qs, stagger: str = "center"):
+        from .halo_shardmap import AsyncHaloUpdate
+
+        return AsyncHaloUpdate(
+            lambda: self.update_scalars_fold_patches(qs, stagger=stagger)
+        )
+
+    def update_vector_fold_pair(
+        self, u, v, kind: str = "dgrid", fold_u: str = "y", fold_v: str = "x"
+    ):
+        u_f, _ = self.update_vector(u, v, kind=kind, fold=fold_u)
+        _, v_f = self.update_vector(u, v, kind=kind, fold=fold_v)
+        return u_f, v_f
+
 
 class ConstantFillHalo(_FoldsDefaultsMixin):
     """Fill every ghost region with a constant (reference NullComm,

@@ -73,6 +73,69 @@ def test_vector_folds_match(halo):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_vector_fold_pair_matches(halo):
+    """update_vector_fold_pair returns exactly the (u fold_u, v fold_v)
+    results of the full per-fold exchanges, for both kinds consumed in
+    production (dgrid in acoustics, agrid in c_sw)."""
+    rng = np.random.default_rng(4)
+    h = halo.n_halo
+    for kind, du, dv in (("dgrid", (1, 0), (0, 1)), ("agrid", (0, 0), (0, 0))):
+        u = jnp.asarray(
+            rng.standard_normal(
+                (halo.n_shards, 3, halo.nsy + 2 * h + du[0],
+                 halo.nsx + 2 * h + du[1])
+            ).astype(np.float32)
+        )
+        v = jnp.asarray(
+            rng.standard_normal(
+                (halo.n_shards, 3, halo.nsy + 2 * h + dv[0],
+                 halo.nsx + 2 * h + dv[1])
+            ).astype(np.float32)
+        )
+        uf, vf = halo.update_vector_fold_pair(u, v, kind=kind)
+        uy_r, _ = halo.update_vector(u, v, kind=kind, fold="y")
+        _, vx_r = halo.update_vector(u, v, kind=kind, fold="x")
+        np.testing.assert_array_equal(np.asarray(uf), np.asarray(uy_r))
+        np.testing.assert_array_equal(np.asarray(vf), np.asarray(vx_r))
+
+
+def test_scalar_fold_patch_matches(halo):
+    """(qx, patch) == (fold-x result, corner pack of the fold-y result),
+    and apply_corner_patch reconstructs the y fold exactly."""
+    from pace_tpu.ops.folds import apply_corner_patch
+
+    rng = np.random.default_rng(5)
+    q = _field(halo, rng)
+    qx, patch = halo.update_scalar_fold_patch(q)
+    qx_ref = halo.update_scalar(q, fold="x")
+    qy_ref = halo.update_scalar(q, fold="y")
+    np.testing.assert_array_equal(np.asarray(qx), np.asarray(qx_ref))
+    h = halo.n_halo
+    assert patch.shape[-2:] == (2 * h, 2 * h)
+    np.testing.assert_array_equal(
+        np.asarray(apply_corner_patch(qx, patch)), np.asarray(qy_ref)
+    )
+
+
+def test_scalar_fold_patch_5d(halo):
+    """The stacked-tracer (S, nq, K, Y, X) form round-trips too."""
+    from pace_tpu.ops.folds import apply_corner_patch
+
+    rng = np.random.default_rng(6)
+    h = halo.n_halo
+    q = jnp.asarray(
+        rng.standard_normal(
+            (halo.n_shards, 2, 3, halo.nsy + 2 * h, halo.nsx + 2 * h)
+        ).astype(np.float32)
+    )
+    qx, patch = halo.update_scalar_fold_patch(q)
+    qy_ref = halo.update_scalar(q, fold="y")
+    assert patch.shape == q.shape[:-2] + (2 * h, 2 * h)
+    np.testing.assert_array_equal(
+        np.asarray(apply_corner_patch(qx, patch)), np.asarray(qy_ref)
+    )
+
+
 def test_dus_assembly_matches_concat(halo, monkeypatch):
     rng = np.random.default_rng(3)
     q = _field(halo, rng)
