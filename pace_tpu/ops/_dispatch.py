@@ -32,6 +32,53 @@ def use_pallas(name: str) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def run_kernel_sharded(fn, args, replicated=()):
+    """Invoke a Pallas-kernel caller under the active shard mesh.
+
+    Mosaic custom calls cannot be auto-partitioned by GSPMD ("Mosaic
+    kernels cannot be automatically partitioned. Please wrap the call in
+    a shard_map" at lowering) — on a real multi-device TPU mesh every
+    stencil-kernel invocation must therefore run inside shard_map, where
+    each device sees its local S-slice and the kernel grid iterates local
+    shards only. Single-device (no mesh): plain call, zero overhead. The
+    virtual-CPU mesh never hits this (kernels dispatch to their jnp twins
+    on CPU), which is why it is exercised by the AOT TPU-topology compile
+    (tools/aot_topology.py / test_hlo_lowering.py) rather than the CPU
+    dryrun.
+
+    ``fn``: callable of ``len(args)`` positional args (each may be a
+    pytree of arrays, every leaf leading with the stacked-shard axis S).
+    ``replicated``: indices of top-level args whose leaves are NOT
+    S-leading (per-column constants) and must be replicated per device.
+    Outputs must all be S-leading.
+    """
+    from ..parallel import mesh as M
+
+    m = M.get_shard_mesh()
+    if m is None or int(m.shape.get(M.SHARD_AXIS, 1)) <= 1:
+        return fn(*args)
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        smap = jax.shard_map
+    except AttributeError:  # older jax spelling
+        from jax.experimental.shard_map import shard_map as smap
+    spec_s = P(M.SHARD_AXIS)
+    spec_r = P()
+    in_specs = tuple(
+        spec_r if i in replicated else spec_s for i in range(len(args))
+    )
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, and the kernels are shard-local by construction
+    try:
+        wrapped = smap(fn, mesh=m, in_specs=in_specs, out_specs=spec_s,
+                       check_vma=False)
+    except TypeError:  # older jax spelling
+        wrapped = smap(fn, mesh=m, in_specs=in_specs, out_specs=spec_s,
+                       check_rep=False)
+    return wrapped(*args)
+
+
 def fit_block_k(y: int, x: int, itemsize: int = 4, default: int = 8) -> int:
     """Plane-size-adaptive k-block for the stencil kernels: their VMEM
     working set (input/output windows x2 buffering plus the compute body's

@@ -315,5 +315,10 @@ def c_sw_tail_pallas(u, v, delp, pt, uc, vc, uc_x, vc_x, uc_y, vc_y,
     padded = ((Yp + 7) // 8 * 8) * ((Xp + 127) // 128 * 128) * 4
     bk = max(1, min(8, 53 * 1024 * 1024 // (56 * padded)))
     bk = min(bk, delp.shape[1])
-    return _run(fields, consts, own, float(dt2), corner_pos, bk,
-                interpret=interpret)
+    from ._dispatch import run_kernel_sharded
+
+    return run_kernel_sharded(
+        lambda f, c, o: _run(f, c, o, float(dt2), corner_pos, bk,
+                             interpret=interpret),
+        (fields, consts, own),
+    )

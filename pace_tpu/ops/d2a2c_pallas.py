@@ -216,11 +216,14 @@ def d2a2c_vect_pallas(u, v, grid, block_k: int = 8, interpret: bool = False):
     # with bk x padded plane; bk=8 fits C192 (200x256 padded planes) but
     # blew VMEM by 95 MB at C384 (392x512 — compile-time OOM with 77 MB of
     # register-allocator spill slots). Budget chosen so C192 keeps bk=8.
-    from ._dispatch import fit_block_k
+    from ._dispatch import fit_block_k, run_kernel_sharded
 
     bk = min(
         fit_block_k(u.shape[-2], u.shape[-1], u.dtype.itemsize,
                     default=block_k),
         u.shape[1],
     )
-    return _run(u, v, grid_fields, bk, interpret)
+    return run_kernel_sharded(
+        lambda uu, vv, gf: _run(uu, vv, gf, bk, interpret),
+        (u, v, grid_fields),
+    )

@@ -319,5 +319,14 @@ def d_sw_tail_pallas(u, v, ut, vt, divg_d, vort, vfx, vfy, dvfx, dvfy,
     if dvfx is not None:
         args += [dvfx, dvfy]
     bk = min(fit_block_k(u.shape[-2], u.shape[-1], default=_BK), K)
-    return _run(tuple(args), consts, d2_col, own, float(dt), config,
-                corner_pos, bk, float(grid.da_min_c), interpret=interpret)
+    from ._dispatch import run_kernel_sharded
+
+    # d2_col is a per-k damping column (K, 1, X+1) — NOT S-leading ->
+    # replicated per device under a mesh
+    return run_kernel_sharded(
+        lambda a, c, d2, o: _run(a, c, d2, o, float(dt), config,
+                                 corner_pos, bk, float(grid.da_min_c),
+                                 interpret=interpret),
+        (tuple(args), consts, d2_col, own),
+        replicated=(2,),
+    )

@@ -147,7 +147,13 @@ def hydrostatic_interfaces_pallas(delp, pt, phis, ptop: float,
     need = tuple(n for n in _ALL if n in need)
     if phis.ndim < delp.ndim - 1:
         raise ValueError("phis must be (S, Y, X)")
-    res = _run(delp, pt, phis, float(ptop), need, interpret=interpret)
+    from ._dispatch import run_kernel_sharded
+
+    res = run_kernel_sharded(
+        lambda d, t, p: _run(d, t, p, float(ptop), need,
+                             interpret=interpret),
+        (delp, pt, phis),
+    )
     return tuple(res.get(n) for n in _ALL)
 
 

@@ -409,6 +409,10 @@ def nh_p_grad_pallas(u, v, pk, gz, pp, delp, grid, dt: float,
         axis=-2,
     ).astype(u.dtype)  # (S, 6, X)
     bk = min(fit_block_k(Y, X, default=_BK), delp.shape[-3])
-    return _run(pk, gz, pp, delp, u, v, grid.rdx, grid.rdy, flags, xw, yw,
-                float(dt), bk=bk, h=h, corner_pos=corner_pos,
-                interpret=interpret)
+    from ._dispatch import run_kernel_sharded
+
+    return run_kernel_sharded(
+        lambda *a: _run(*a, float(dt), bk=bk, h=h, corner_pos=corner_pos,
+                        interpret=interpret),
+        (pk, gz, pp, delp, u, v, grid.rdx, grid.rdy, flags, xw, yw),
+    )

@@ -134,11 +134,23 @@ def _remap_kernel(
     jax.lax.fori_loop(0, K2 - 1, body, q_top)
 
 
-@functools.partial(jax.jit, static_argnames=("kord", "interpret"))
-def remap_field_pallas(q, pe1, pe2, kord=4,
-                       interpret: bool = False):
+def remap_field_pallas(q, pe1, pe2, kord=4, interpret: bool = False):
     """Drop-in for remap_field on TPU: q (..., K, Y, X), pe1/pe2
-    (..., K+1, Y, X) -> (..., K2-1, Y, X)."""
+    (..., K+1, Y, X) -> (..., K2-1, Y, X). Mesh-aware dispatch (see
+    _dispatch.run_kernel_sharded)."""
+    from ._dispatch import run_kernel_sharded
+
+    return run_kernel_sharded(
+        lambda qq, p1, p2: _remap_field_jit(
+            qq, p1, p2, kord=kord, interpret=interpret
+        ),
+        (q, pe1, pe2),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kord", "interpret"))
+def _remap_field_jit(q, pe1, pe2, kord=4,
+                     interpret: bool = False):
     lead = q.shape[:-3]
     K = q.shape[-3]
     K1 = pe1.shape[-3]

@@ -141,17 +141,28 @@ def _sim1_kernel(
     pp_ref[0] = pp
 
 
-@functools.partial(
-    jax.jit, static_argnames=("dt", "ptop", "p_fac", "interpret")
-)
 def sim1_solver_pallas(w, delz, pt, delp, pkz, ws, dt: float,
                        ptop: float = 0.0, p_fac: float = 0.0,
                        interpret: bool = False):
     """Drop-in for ops.nonhydro.sim1_solver on TPU float32.
 
     w/delz/pt/delp/pkz: (..., K, Y, X); ws: (..., Y, X).
-    Returns (w_new, delz_new, pp) with pp (..., K+1, Y, X).
-    """
+    Returns (w_new, delz_new, pp) with pp (..., K+1, Y, X). Mesh-aware
+    dispatch (see _dispatch.run_kernel_sharded)."""
+    from ._dispatch import run_kernel_sharded
+
+    return run_kernel_sharded(
+        lambda *a: _sim1_jit(*a, dt, ptop, p_fac, interpret),
+        (w, delz, pt, delp, pkz, ws),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dt", "ptop", "p_fac", "interpret")
+)
+def _sim1_jit(w, delz, pt, delp, pkz, ws, dt: float,
+              ptop: float = 0.0, p_fac: float = 0.0,
+              interpret: bool = False):
     lead = w.shape[:-3]
     K = w.shape[-3]
     Y, X = w.shape[-2:]

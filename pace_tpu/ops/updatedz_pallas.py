@@ -64,10 +64,19 @@ def _heights_kernel(delz_ref, phis_ref, out_ref, *, K):
     jax.lax.fori_loop(0, K, bwd, jnp.zeros_like(zs))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def heights_from_delz_pallas(delz, phis, interpret: bool = False):
     """Drop-in for nonhydro.heights_from_delz on TPU f32:
-    delz (S, K, Y, X), phis (S, Y, X) -> zh (S, K+1, Y, X)."""
+    delz (S, K, Y, X), phis (S, Y, X) -> zh (S, K+1, Y, X). Mesh-aware
+    dispatch (see _dispatch.run_kernel_sharded)."""
+    from ._dispatch import run_kernel_sharded
+
+    return run_kernel_sharded(
+        lambda d, p: _heights_jit(d, p, interpret), (delz, phis)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _heights_jit(delz, phis, interpret: bool = False):
     S, K, Y, X = delz.shape
     BY, BX = 32, 256
     while BY // 2 >= Y and BY > 8:
@@ -154,10 +163,21 @@ def _updatedzc_kernel(zhx_ref, zhy_ref, xfx_ref, xfxp_ref, yfx_ref,
     jax.lax.fori_loop(0, bi, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("dt2", "interpret"))
 def updatedz_c_pallas(zh_x, zh_y, xfx_l, yfx_l, area, dt2: float,
                       interpret: bool = False):
-    """Drop-in for nonhydro.updatedz_c on TPU f32 (same return pair)."""
+    """Drop-in for nonhydro.updatedz_c on TPU f32 (same return pair).
+    Mesh-aware dispatch (see _dispatch.run_kernel_sharded)."""
+    from ._dispatch import run_kernel_sharded
+
+    return run_kernel_sharded(
+        lambda *a: _updatedz_c_jit(*a, dt2, interpret),
+        (zh_x, zh_y, xfx_l, yfx_l, area),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dt2", "interpret"))
+def _updatedz_c_jit(zh_x, zh_y, xfx_l, yfx_l, area, dt2: float,
+                    interpret: bool = False):
     S, K1, Y, X = zh_x.shape
     K = K1 - 1
     from ._dispatch import fit_block_k, pallas_cost
@@ -230,11 +250,22 @@ def _flux_update_kernel(zh_ref, fx_ref, fy_ref, xfx_ref, yfx_ref,
     jax.lax.fori_loop(0, bi, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def flux_height_update_pallas(zh, fx, fy, xfx_i, yfx_i, area,
                               interpret: bool = False):
     """The updatedz_d tail: (zh*area + div(fx, fy)) / (area + div(xfx,
-    yfx)) in one fused pass. All operands interface-registered in k."""
+    yfx)) in one fused pass. All operands interface-registered in k.
+    Mesh-aware dispatch (see _dispatch.run_kernel_sharded)."""
+    from ._dispatch import run_kernel_sharded
+
+    return run_kernel_sharded(
+        lambda *a: _flux_height_jit(*a, interpret),
+        (zh, fx, fy, xfx_i, yfx_i, area),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flux_height_jit(zh, fx, fy, xfx_i, yfx_i, area,
+                     interpret: bool = False):
     S, K1, Y, X = zh.shape
     from ._dispatch import fit_block_k, pallas_cost
 

