@@ -159,6 +159,26 @@ def main():
             events = _trace_op_events(td)
         if events:
             device_step_s = sum(e["dur"] / 1e6 for e in events)
+            # trace-integrity guard (ADVICE r4): block_until_ready through
+            # the remote-TPU tunnel is not guaranteed to block on device
+            # completion, so a trace COULD close before all device events
+            # flush, silently undercounting. The wall loop above amortizes
+            # STEPS real steps, so a healthy trace satisfies
+            # device_step_s <~ wall_step_s; a trace that lost a large slice
+            # of its events comes in far below wall. Refuse such a trace
+            # rather than publish an undercounted step time.
+            if device_step_s < 0.5 * (dt / STEPS):
+                import sys
+
+                print(
+                    f"profiler trace looks truncated (device "
+                    f"{device_step_s:.2f}s << wall {dt/STEPS:.2f}s); "
+                    "falling back to wall time",
+                    file=sys.stderr,
+                )
+                device_step_s = None
+                events = []
+        if events:
             # summed per-op durations OVERCOUNT when device work overlaps
             # (async DMA/collectives concurrent with compute); the trace
             # span max(end)-min(start) is the true elapsed device time of

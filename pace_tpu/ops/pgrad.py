@@ -200,6 +200,23 @@ def p_grad_c(uc, vc, pkc, gz, grid, dt2: float):
     return uc + du, vc + dv
 
 
+_A2B_FACTORY = None
+
+
+def _a2b_factory():
+    """Module-level StencilFactory, built once and reused across traces —
+    the reference's factory likewise lives for the Driver's lifetime
+    (driver.py:471-475). Zero per-call cost either way under jit (stencil
+    construction happens at trace time only), hoisted so the facade's
+    caching behavior is exercised as designed."""
+    global _A2B_FACTORY
+    if _A2B_FACTORY is None:
+        from ..dsl import StencilFactory
+
+        _A2B_FACTORY = StencilFactory()
+    return _A2B_FACTORY
+
+
 def one_grad_p(u, v, pk, gz, grid, dt: float):
     """Hydrostatic D-grid pressure-gradient update (reference one_grad_p):
     pk/gz interpolated to corners, then the contour PGF along each edge.
@@ -214,9 +231,7 @@ def one_grad_p(u, v, pk, gz, grid, dt: float):
     padded (y, x) window because this op, like every op in this package,
     computes ghost values that the next halo exchange overwrites.
     """
-    from ..dsl import StencilFactory
-
-    factory = StencilFactory()
+    factory = _a2b_factory()
     # func sees (out_window, q_window); grid is the stencil's "externals"
     # closure (tracer-safe under the outer jit — metric terms stay jit
     # arguments, not baked constants)
