@@ -29,7 +29,7 @@ from .microphysics import MicrophysicsConfig, microphysics_step
 PHYSICS_PACKAGES = (
     "GFS_microphysics", "GFS_PBL", "GFS_shallow_convection",
     "GFS_deep_convection", "held_suarez", "gray_radiation",
-    "band_radiation",
+    "band_radiation", "RJ_simple_physics",
 )
 
 _IQ = {name: i for i, name in enumerate(TRACER_NAMES)}
@@ -205,6 +205,9 @@ class Physics:
 
             band_radiation_config = BandRadiationConfig()
         self.band_radiation_config = band_radiation_config
+        from .simple_physics import SimplePhysicsConfig
+
+        self.simple_physics_config = SimplePhysicsConfig()
         self.halo = halo  # for the tendency halo update (None = zero halos)
         #: optional stage checkpointer (pace_tpu.testing.checkpointer) fired
         #: at Physics-In/Physics-Out — the reference's physics savepoint
@@ -341,6 +344,33 @@ class Physics:
                 state.pt, state.q, state.delp, self.timestep, self.fv_sg_adj
             )
             state = dataclasses.replace(state, pt=pt_adj, q=q_adj)
+        if "RJ_simple_physics" in self.schemes:
+            # Reed-Jablonowski 2012 simple physics (simple_physics.py): the
+            # idealized-TC companion suite — condensation + bulk wind-
+            # dependent ocean fluxes + PBL diffusion in one package
+            from .simple_physics import simple_physics_step
+
+            with jax.named_scope("SimplePhysics"):
+                ua, va = self._a_grid_winds(state)
+                qv = state.q[:, _IQ["qvapor"]]
+                pkz = state.pkz
+                t = state.pt * pkz / (1.0 + constants.ZVIR * qv)
+                p_mid = 0.5 * (
+                    state.pe[..., 1:, :, :] + state.pe[..., :-1, :, :]
+                )
+                u_dt, v_dt, t_new, qv_new, precip = simple_physics_step(
+                    ua, va, t, qv, state.pe, p_mid, state.delp,
+                    state.phis, self.timestep, self.simple_physics_config,
+                )
+                u_new, v_new = apply_wind_tendencies(
+                    state.u, state.v, u_dt, v_dt, self.grid,
+                    self.timestep, halo=self.halo,
+                )
+                pt_new = t_new * (1.0 + constants.ZVIR * qv_new) / pkz
+                q_new = state.q.at[:, _IQ["qvapor"]].set(qv_new)
+                state = dataclasses.replace(
+                    state, u=u_new, v=v_new, pt=pt_new, q=q_new
+                )
         if "held_suarez" in self.schemes:
             from .held_suarez import held_suarez_step
 
