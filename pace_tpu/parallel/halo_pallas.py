@@ -236,7 +236,14 @@ def exchange_pallas_multi(
             arrays[0].shape[0] * padded(y, x, arrays[0].dtype.itemsize)
             for (y, x) in out_shapes
         )
-        block_k = max(1, (72 * 1024 * 1024) // max(per_k, 1))
+        # cap at 8: Mosaic compile time for this kernel's ~100 strip
+        # copies grows superlinearly with the block depth (measured at
+        # C48: 19.7 s at the VMEM-budget bk=32 vs 2.1 s at bk=8 for ONE
+        # scalar exchange — across ~20 exchange sites that difference is
+        # what OOM-killed the compile of every small-grid TPU program),
+        # while the runtime penalty of deeper pipelining below bk=8 is
+        # the only measured cliff (2.6x at bk=1, round-3 note above)
+        block_k = max(1, min(8, (72 * 1024 * 1024) // max(per_k, 1)))
     bk = min(block_k, arrays[0].shape[1])
     _OPS_REGISTRY[ops_key] = (
         tuple(in_names),
