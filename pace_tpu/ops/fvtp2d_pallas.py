@@ -44,6 +44,29 @@ except Exception:  # pragma: no cover
     _COMPILER_PARAMS = None
 
 
+def _pad_plane(a, Y2, X2, v=0.0):
+    """Pad the trailing (Y, X) dims up to (Y2, X2) with constant ``v``."""
+    py = Y2 - a.shape[-2]
+    px = X2 - a.shape[-1]
+    if py <= 0 and px <= 0:
+        return a
+    cfg = [(0, 0)] * (a.ndim - 2) + [(0, max(py, 0)), (0, max(px, 0))]
+    return jnp.pad(a, cfg, constant_values=v)
+
+
+def _fulltile(Y0, X0):
+    """Smallest exact (8, 128)-tile plane covering (Y0, X0). Mosaic's
+    ragged-last-lane-tile handling costs ~3.3x per point at X=198 vs the
+    full-tile 256 (measured, docs/performance.md round-5 table), so the
+    transport kernels pad to full tiles, compute, and slice the valid
+    interfaces back out. Pad values: fields/winds/fluxes 0, area 1 (a
+    zero area would 0/0 the inner-advection update and the NaNs would
+    roll within reach of consumed interfaces). Pad garbage lands only in
+    the never-consumed outer interface ring — the same guarantee as the
+    wrap-around roll convention."""
+    return -(-Y0 // 8) * 8, -(-X0 // 128) * 128
+
+
 def _mk_shift(interpret: bool):
     """(sx, sy) shift helpers: result[..., i] = a[..., i + n] (jnp.roll
     convention of stencil_utils.sx/sy)."""
@@ -90,23 +113,26 @@ def _fvtp2d_block(
     return fx, fy
 
 
-def _patch_qy(qx, p, scr_r):
+def _patch_qy(qx, p, scr_r, orig_yx=None):
     """Reconstruct the y-fold in VMEM: copy the x-fold block to scratch,
     overwrite the four corner ghost rects from the (…, 2h, 2h) pack value
     ``p`` (ops.folds layout [[SW, SE], [NW, NE]]), read back as a value.
     Static ref-slice writes — Mosaic has no DUS/scatter lowering for
-    values."""
+    values. ``orig_yx``: the logical plane size when ``qx`` is a padded
+    full-tile block (corners sit at the logical edges)."""
     h = p.shape[-1] // 2
-    Y, X = qx.shape[-2:]
+    Y, X = orig_yx if orig_yx is not None else qx.shape[-2:]
     scr_r[...] = qx
+    # explicit end bounds: the scratch block may be tile-padded beyond
+    # (Y, X), so open-ended slices would over-span the write
     scr_r[..., :h, :h] = p[..., :h, :h]
-    scr_r[..., :h, X - h:] = p[..., :h, h:]
-    scr_r[..., Y - h:, :h] = p[..., h:, :h]
-    scr_r[..., Y - h:, X - h:] = p[..., h:, h:]
+    scr_r[..., :h, X - h : X] = p[..., :h, h:]
+    scr_r[..., Y - h : Y, :h] = p[..., h:, :h]
+    scr_r[..., Y - h : Y, X - h : X] = p[..., h:, h:]
     return scr_r[...]
 
 
-def _kernel(*refs, hord, use_mf, qy_patch, interpret):
+def _kernel(*refs, hord, use_mf, qy_patch, orig_yx, interpret):
     if qy_patch:
         refs, scr_r = refs[:-1], refs[-1]
     if use_mf:
@@ -119,7 +145,11 @@ def _kernel(*refs, hord, use_mf, qy_patch, interpret):
     X = qx_r.shape[-1]
     Y = qx_r.shape[-2]
     qx = qx_r[...]
-    qy = _patch_qy(qx, qy_r[...], scr_r) if qy_patch else qy_r[...]
+    qy = (
+        _patch_qy(qx, qy_r[...], scr_r, orig_yx=orig_yx)
+        if qy_patch
+        else qy_r[...]
+    )
     crx = crx_r[..., :, :X]
     cry = cry_r[..., :Y, :]
     xfx = xfx_r[..., :, :X]
@@ -138,9 +168,11 @@ def _kernel(*refs, hord, use_mf, qy_patch, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hord", "use_mf", "qy_patch", "block_k", "interpret"),
+    static_argnames=(
+        "hord", "use_mf", "qy_patch", "orig_yx", "block_k", "interpret"
+    ),
 )
-def _run(args, hord, use_mf, qy_patch, block_k, interpret):
+def _run(args, hord, use_mf, qy_patch, orig_yx, block_k, interpret):
     qx = args[0]
     S, K, Y, X = qx.shape
     nb = pl.cdiv(K, block_k)
@@ -168,7 +200,7 @@ def _run(args, hord, use_mf, qy_patch, block_k, interpret):
     )
     kernel = functools.partial(
         _kernel, hord=hord, use_mf=use_mf, qy_patch=qy_patch,
-        interpret=interpret,
+        orig_yx=orig_yx, interpret=interpret,
     )
     from ._dispatch import pallas_cost
 
@@ -220,6 +252,19 @@ def fvtp2d_pallas(
     if qy_patch:
         qy = qy.data
     use_mf = mfx is not None
+    S, K, Y0, X0 = qx.shape
+    Y2, X2 = _fulltile(Y0, X0)
+    orig_yx = (Y0, X0)
+    pad = (Y2, X2) != (Y0, X0)
+    if pad:
+        qx = _pad_plane(qx, Y2, X2)
+        if not qy_patch:
+            qy = _pad_plane(qy, Y2, X2)
+        crx, cry = _pad_plane(crx, Y2, X2), _pad_plane(cry, Y2, X2)
+        xfx, yfx = _pad_plane(xfx, Y2, X2), _pad_plane(yfx, Y2, X2)
+        area = _pad_plane(area, Y2, X2, 1.0)
+        if use_mf:
+            mfx, mfy = _pad_plane(mfx, Y2, X2), _pad_plane(mfy, Y2, X2)
     args = [qx, qy, crx, cry, xfx, yfx, area]
     if use_mf:
         args += [mfx, mfy]
@@ -227,9 +272,14 @@ def fvtp2d_pallas(
 
     bk = min(fit_block_k(qx.shape[-2], qx.shape[-1], default=block_k),
              qx.shape[1])
-    return run_kernel_sharded(
-        lambda *a: _run(a, hord, use_mf, qy_patch, bk, interpret), args
+    fx, fy = run_kernel_sharded(
+        lambda *a: _run(a, hord, use_mf, qy_patch, orig_yx, bk, interpret),
+        args,
     )
+    if pad:
+        fx = fx[..., :Y0, : X0 + 1]
+        fy = fy[..., : Y0 + 1, :X0]
+    return fx, fy
 
 
 # --- multi-field variant ----------------------------------------------------
@@ -242,7 +292,7 @@ def fvtp2d_pallas(
 # fields inside VMEM: for 3 fields, ~13 HBM field reads instead of ~25.
 
 
-def _kernel_multi(*refs, hords, use_mfs, patches, interpret):
+def _kernel_multi(*refs, hords, use_mfs, patches, orig_yx, interpret):
     n = len(hords)
     if any(patches):
         refs, scr_r = refs[:-1], refs[-1]
@@ -273,7 +323,7 @@ def _kernel_multi(*refs, hords, use_mfs, patches, interpret):
     for f in range(n):
         qx = q_refs[2 * f][...]
         qy = (
-            _patch_qy(qx, q_refs[2 * f + 1][...], scr_r)
+            _patch_qy(qx, q_refs[2 * f + 1][...], scr_r, orig_yx=orig_yx)
             if patches[f]
             else q_refs[2 * f + 1][...]
         )
@@ -293,9 +343,11 @@ def _kernel_multi(*refs, hords, use_mfs, patches, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hords", "use_mfs", "patches", "block_k", "interpret"),
+    static_argnames=(
+        "hords", "use_mfs", "patches", "orig_yx", "block_k", "interpret"
+    ),
 )
-def _run_multi(args, hords, use_mfs, patches, block_k, interpret):
+def _run_multi(args, hords, use_mfs, patches, orig_yx, block_k, interpret):
     n = len(hords)
     qx = args[0]
     S, K, Y, X = qx.shape
@@ -328,7 +380,7 @@ def _run_multi(args, hords, use_mfs, patches, block_k, interpret):
         out_shape.append(jax.ShapeDtypeStruct((S, K, Y + 1, X), qx.dtype))
     kernel = functools.partial(
         _kernel_multi, hords=hords, use_mfs=use_mfs, patches=patches,
-        interpret=interpret,
+        orig_yx=orig_yx, interpret=interpret,
     )
     scratch = (
         [pltpu.VMEM((1, block_k, Y, X), qx.dtype)]
@@ -366,12 +418,14 @@ def _run_multi(args, hords, use_mfs, patches, block_k, interpret):
 
 def _kernel_tracer(q_x_r, q_y_r, crx_r, cry_r, xfx_r, yfx_r, area_r,
                    mfx_r, mfy_r, fx_r, fy_r, *scr, hord, qy_patch,
-                   interpret):
+                   orig_yx, interpret):
     X = q_x_r.shape[-1]
     Y = q_x_r.shape[-2]
     qx = q_x_r[:, 0]
     if qy_patch:
-        qy = _patch_qy(qx, q_y_r[:, 0], scr[0])
+        # corner rects live at the ORIGINAL plane edges, not the padded
+        # block edges (full-tile pad shim below)
+        qy = _patch_qy(qx, q_y_r[:, 0], scr[0], orig_yx=orig_yx)
     else:
         qy = q_y_r[:, 0]
     crx = crx_r[..., :, :X]
@@ -391,10 +445,11 @@ def _kernel_tracer(q_x_r, q_y_r, crx_r, cry_r, xfx_r, yfx_r, area_r,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hord", "qy_patch", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("hord", "qy_patch", "orig_yx", "block_k", "interpret"),
 )
 def _run_tracer(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy,
-                hord, qy_patch, block_k, interpret):
+                hord, qy_patch, orig_yx, block_k, interpret):
     S, NQ, K, Y, X = qx.shape
     nb = pl.cdiv(K, block_k)
 
@@ -433,7 +488,8 @@ def _run_tracer(qx, qy, crx, cry, xfx, yfx, area, mfx, mfy,
         jax.ShapeDtypeStruct((S, NQ, K, Y + 1, X), qx.dtype),
     )
     kernel = functools.partial(
-        _kernel_tracer, hord=hord, qy_patch=qy_patch, interpret=interpret
+        _kernel_tracer, hord=hord, qy_patch=qy_patch, orig_yx=orig_yx,
+        interpret=interpret,
     )
     scratch = (
         [pltpu.VMEM((1, block_k, Y, X), qx.dtype)]
@@ -489,14 +545,34 @@ def fvtp2d_tracer_pallas(
     qy_patch = isinstance(qy, CornerPatch)
     if qy_patch:
         qy = qy.data
+
+    # full-tile pad shim (see _fulltile)
+    S, NQ, K, Y0, X0 = qx.shape
+    Y2, X2 = _fulltile(Y0, X0)
+    orig_yx = (Y0, X0)
+    pad = (Y2, X2) != (Y0, X0)
+    if pad:
+        qx = _pad_plane(qx, Y2, X2)
+        if not qy_patch:
+            qy = _pad_plane(qy, Y2, X2)
+        crx, cry = _pad_plane(crx, Y2, X2), _pad_plane(cry, Y2, X2)
+        xfx, yfx = _pad_plane(xfx, Y2, X2), _pad_plane(yfx, Y2, X2)
+        mfx, mfy = _pad_plane(mfx, Y2, X2), _pad_plane(mfy, Y2, X2)
+        area = _pad_plane(area, Y2, X2, 1.0)
+
     bk = min(fit_block_k(qx.shape[-2], qx.shape[-1], default=block_k),
              qx.shape[2])
     from ._dispatch import run_kernel_sharded
 
-    return run_kernel_sharded(
-        lambda *a: _run_tracer(*a, int(hord), qy_patch, bk, interpret),
+    fx, fy = run_kernel_sharded(
+        lambda *a: _run_tracer(*a, int(hord), qy_patch, orig_yx, bk,
+                               interpret),
         (qx, qy, crx, cry, xfx, yfx, area, mfx, mfy),
     )
+    if pad:
+        fx = fx[..., :Y0, : X0 + 1]
+        fy = fy[..., : Y0 + 1, :X0]
+    return fx, fy
 
 
 def fvtp2d_multi_pallas(
@@ -540,22 +616,44 @@ def fvtp2d_multi_pallas(
                 f"fvtp2d_multi_pallas: all fields must share dtype "
                 f"{q0.dtype}, got {qx.dtype}/{qy_dt}"
             )
+    S, K, Y0, X0 = q0.shape
+    Y2, X2 = _fulltile(Y0, X0)
+    orig_yx = (Y0, X0)
+    pad = (Y2, X2) != (Y0, X0)
     args = []
     for (qx, qy, _, _), is_p in zip(fields, patches):
-        args += [qx, qy.data if is_p else qy]
+        qy_a = qy.data if is_p else qy
+        if pad:
+            qx = _pad_plane(qx, Y2, X2)
+            if not is_p:
+                qy_a = _pad_plane(qy_a, Y2, X2)
+        args += [qx, qy_a]
+    if pad:
+        crx, cry = _pad_plane(crx, Y2, X2), _pad_plane(cry, Y2, X2)
+        xfx, yfx = _pad_plane(xfx, Y2, X2), _pad_plane(yfx, Y2, X2)
+        area = _pad_plane(area, Y2, X2, 1.0)
+        if any(use_mfs):
+            mfx = _pad_plane(mfx, Y2, X2)
+            mfy = _pad_plane(mfy, Y2, X2)
     args += [crx, cry, xfx, yfx, area]
     if any(use_mfs):
         assert mfx is not None and mfy is not None
         args += [mfx, mfy]
     from ._dispatch import fit_block_k
 
-    q00 = fields[0][0]
-    bk = min(fit_block_k(q00.shape[-2], q00.shape[-1], default=block_k),
-             q00.shape[1])
+    bk = min(fit_block_k(args[0].shape[-2], args[0].shape[-1],
+                         default=block_k),
+             args[0].shape[1])
     from ._dispatch import run_kernel_sharded
 
     flat = run_kernel_sharded(
-        lambda *a: _run_multi(a, hords, use_mfs, patches, bk, interpret),
+        lambda *a: _run_multi(a, hords, use_mfs, patches, orig_yx, bk,
+                              interpret),
         args,
     )
+    if pad:
+        flat = [
+            (o[..., :Y0, : X0 + 1] if i % 2 == 0 else o[..., : Y0 + 1, :X0])
+            for i, o in enumerate(flat)
+        ]
     return [(flat[2 * f], flat[2 * f + 1]) for f in range(len(fields))]
